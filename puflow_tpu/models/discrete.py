@@ -1,0 +1,236 @@
+"""PointInterpFlow (discrete): 6-block conditional Glow for point upsampling.
+
+Parity target: reference `modules/discrete/interpflow.py:262-351`.
+
+Architecture per flow block (reference `FlowBlock`, `:46-82`):
+    ActNorm -> invertible 1x1 conv -> additive spatial coupling
+    -> reverse channel permute -> affine injector
+with the block's condition coming from a densely-connected EdgeConv pyramid
+(`feat_extract`, `:292-300`). Upsampling: points -> latents via the forward
+flow `f`, latent k-NN interpolation (k=8, learned softmax weights), inverse
+flow `g` on the interpolated latents with conditions repeated `upratio`
+times (`:315-321`).
+
+TPU-first notes: the whole forward (knn -> encode -> f -> interp -> g) is one
+pure function of (params, state, xyz) with static shapes — a single jit
+compilation serves every patch batch, and the patch axis shards over a device
+mesh (see `puflow_tpu.parallel`). Log-det/exp paths stay float32.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from puflow_tpu.flows.coupling import (
+    additive_coupling_forward,
+    additive_coupling_inverse,
+    affine_injector_forward,
+    affine_injector_inverse,
+    linear_a1d_init,
+)
+from puflow_tpu.flows.normalize import (
+    actnorm_forward,
+    actnorm_init,
+    actnorm_init_from_data,
+    actnorm_inverse,
+)
+from puflow_tpu.flows.permutate import (
+    inv1x1_forward,
+    inv1x1_init,
+    inv1x1_inverse,
+    reverse_permute,
+)
+from puflow_tpu.flows.prior import standard_gaussian_logp
+from puflow_tpu.models.encoder import (
+    feat_merge_apply,
+    feat_merge_init,
+    feature_extract_apply,
+    feature_extract_init,
+    interpolation_apply,
+    interpolation_init,
+)
+from puflow_tpu.ops.knn import knn_indices
+
+NUM_BLOCKS = 6
+NUM_NEIGHBORS = 16   # encoder k-NN (reference :268)
+PC_CHANNEL = 3
+
+# Channel schedule (reference :273-275).
+FEAT_CHANNELS = [PC_CHANNEL, 32, 64, 128, 128, 128, 128]
+GROWTH_WIDTHS = [8, 16, 32, 32, 32, 32]
+COND_CHANNELS = [32, 64, 128, 128, 128, 128]
+HDIM = 64
+
+_REVERSE3 = (2, 1, 0)  # reverse permutation of 3 channels; self-inverse
+
+
+class ModelSpec(NamedTuple):
+    """Static model hyper-parameters (hashable, jit-friendly)."""
+    num_blocks: int = NUM_BLOCKS
+    num_neighbors: int = NUM_NEIGHBORS
+    pc_channel: int = PC_CHANNEL
+
+
+# --------------------------------------------------------------------------
+# Flow block
+# --------------------------------------------------------------------------
+def flow_block_init(key, cdim: int, is_even: bool, idim: int = PC_CHANNEL,
+                    hdim: int = HDIM) -> dict:
+    k0, k1, k2, k3 = jax.random.split(key, 4)
+    tdim = 1 if is_even else 2  # spatial split size (reference :56-58)
+    return {
+        "actnorm": actnorm_init(idim),
+        "inv1x1": inv1x1_init(k0, idim),
+        "coupling1": {
+            "bias_net": linear_a1d_init(k1, tdim, hdim, idim - tdim, cdim)
+        },
+        "coupling2": {
+            "scale_net": linear_a1d_init(k2, cdim, hdim, idim),
+            "bias_net": linear_a1d_init(k3, cdim, hdim, idim),
+        },
+    }
+
+
+def flow_block_forward(params: dict, x: jax.Array, c: jax.Array,
+                       is_even: bool):
+    """One Glow step; logdet accumulates actnorm + inv1x1 + injector terms
+    (the additive coupling is volume-preserving) — reference `:66-74`."""
+    split = 1 if is_even else 2
+    x, ld0 = actnorm_forward(params["actnorm"], x)
+    x, ld1 = inv1x1_forward(params["inv1x1"], x)
+    x, _ = additive_coupling_forward(params["coupling1"], x, c, split)
+    x = reverse_permute(x, _REVERSE3)
+    x, ld4 = affine_injector_forward(params["coupling2"], x, c)
+    return x, ld0 + ld1 + ld4
+
+
+def flow_block_inverse(params: dict, z: jax.Array, c: jax.Array,
+                       is_even: bool):
+    split = 1 if is_even else 2
+    z, _ = affine_injector_inverse(params["coupling2"], z, c)
+    z = reverse_permute(z, _REVERSE3)
+    z, _ = additive_coupling_inverse(params["coupling1"], z, c, split)
+    z, _ = inv1x1_inverse(params["inv1x1"], z)
+    z, _ = actnorm_inverse(params["actnorm"], z)
+    return z
+
+
+# --------------------------------------------------------------------------
+# Full model
+# --------------------------------------------------------------------------
+def init(key, spec: ModelSpec = ModelSpec()):
+    """Initialise (params, state). State holds BatchNorm running stats."""
+    keys = jax.random.split(key, 3 * spec.num_blocks + 1)
+    interp_p, interp_s = interpolation_init(keys[0], spec.pc_channel)
+
+    feat_p, feat_s, merge_p, flow_p = [], [], [], []
+    for i in range(spec.num_blocks):
+        fp, fs = feature_extract_init(
+            keys[1 + i], FEAT_CHANNELS[i], FEAT_CHANNELS[i + 1],
+            GROWTH_WIDTHS[i])
+        feat_p.append(fp)
+        feat_s.append(fs)
+        merge_p.append(feat_merge_init(
+            keys[1 + spec.num_blocks + i], FEAT_CHANNELS[i + 1],
+            COND_CHANNELS[i]))
+        flow_p.append(flow_block_init(
+            keys[1 + 2 * spec.num_blocks + i], COND_CHANNELS[i],
+            is_even=(i % 2 == 0), idim=spec.pc_channel))
+
+    params = {
+        "interp": interp_p,
+        "feat_convs": feat_p,
+        "merge_convs": merge_p,
+        "flow_blocks": flow_p,
+    }
+    state = {"interp": interp_s, "feat_convs": feat_s}
+    return params, state
+
+
+def feat_extract(params, state, xyz, knn_idx, train: bool):
+    """EdgeConv pyramid -> per-block conditions (reference `:292-300`)."""
+    cs, new_fs = [], []
+    c = xyz
+    for fp, fs, mp in zip(params["feat_convs"], state["feat_convs"],
+                          params["merge_convs"]):
+        c, fs2 = feature_extract_apply(fp, fs, c, knn_idx, train)
+        new_fs.append(fs2)
+        cs.append(feat_merge_apply(mp, c))
+    return cs, new_fs
+
+
+def f_transform(params, x, cs):
+    """Points -> latents with total log|det J| (reference `f`, `:302-313`)."""
+    log_det = jnp.zeros((x.shape[0],), dtype=jnp.float32)
+    for i, (bp, c) in enumerate(zip(params["flow_blocks"], cs)):
+        x, ld = flow_block_forward(bp, x, c, is_even=(i % 2 == 0))
+        log_det = log_det + ld
+    return x, log_det
+
+
+def g_transform(params, z, cs, upratio: int):
+    """Latents [B, N, C, r] -> points [B, N*r, C] (reference `g`, `:315-321`).
+
+    The [B, N, r, C] flatten ordering means each input point's r samples are
+    consecutive rows, matching `repeat_interleave(cond, upratio, dim=1)`.
+    """
+    B, N, C, r = z.shape
+    z = jnp.swapaxes(z, 2, 3).reshape(B, N * r, C)
+    for i in reversed(range(len(params["flow_blocks"]))):
+        c = jnp.repeat(cs[i], upratio, axis=1)
+        z = flow_block_inverse(params["flow_blocks"][i], z, c,
+                               is_even=(i % 2 == 0))
+    return z
+
+
+def log_prob(params, x, cs):
+    """(z, scalar NLL objective) — reference `log_prob` (`:339-345`)."""
+    z, log_det = f_transform(params, x, cs)
+    logp = standard_gaussian_logp(z)
+    return z, -jnp.mean(logp + log_det)
+
+
+def forward(params, state, xyz, upratio: int, train: bool = False,
+            spec: ModelSpec = ModelSpec()):
+    """Full upsampling pass: ``[B, N, 3] -> ([B, N*r, 3], scalar NLL, state')``.
+
+    Reference `PointInterpFlow.forward` (`:327-337`).
+    """
+    knn_idx = knn_indices(xyz, xyz, spec.num_neighbors)
+    cs, feat_s = feat_extract(params, state, xyz, knn_idx, train)
+    z, logp_x = log_prob(params, xyz, cs)
+    fz, interp_s = interpolation_apply(
+        params["interp"], state["interp"], z, xyz, upratio, train)
+    x = g_transform(params, fz, cs, upratio)
+    new_state = {"interp": interp_s, "feat_convs": feat_s}
+    return x, logp_x, new_state
+
+
+def sample(params, state, sparse, upratio: int = 4,
+           spec: ModelSpec = ModelSpec()):
+    """Inference entry: dense cloud only (reference `sample`, `:347-350`)."""
+    dense, _, _ = forward(params, state, sparse, upratio, train=False,
+                          spec=spec)
+    return dense
+
+
+def actnorm_warmup(params, state, xyz, spec: ModelSpec = ModelSpec()):
+    """Data-dependent ActNorm init from one representative batch.
+
+    Walks the blocks sequentially (each ActNorm sees the activations produced
+    by the already-initialised earlier blocks), replicating the reference's
+    first-forward initialisation (`modules/flows/normalize.py:30-32`).
+    Pure: returns updated params. Run once, outside jit, before training.
+    """
+    knn_idx = knn_indices(xyz, xyz, spec.num_neighbors)
+    cs, _ = feat_extract(params, state, xyz, knn_idx, train=False)
+    new_blocks = []
+    x = xyz
+    for i, (bp, c) in enumerate(zip(params["flow_blocks"], cs)):
+        bp = dict(bp, actnorm=actnorm_init_from_data(x))
+        x, _ = flow_block_forward(bp, x, c, is_even=(i % 2 == 0))
+        new_blocks.append(bp)
+    return dict(params, flow_blocks=new_blocks)

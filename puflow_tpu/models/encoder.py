@@ -1,0 +1,225 @@
+"""Geometry-context encoders for the interpolation flow.
+
+Parity targets (reference `modules/discrete/interpflow.py`):
+  * `FeatureExtractUnit` `:190-248` — densely-connected EdgeConv stack
+    (LeakyReLU slope 0.05) with optional K-axis max pooling.
+  * `DistanceEncoder`    `:85-120`  — per-neighbour distance features
+    [pt, neighbour, pt - neighbour, |pt - neighbour|] through a BN-MLP.
+  * `KnnContextEncoder`  `:123-134` — concat of the two, 256 channels.
+  * `WeightEstimationUnit` `:137-159` — r_max=32 interpolation logit head.
+  * `InterpolationModule` `:162-186` — softmax latent blending over k=8
+    neighbours per upsampling row.
+  * `FeatMergeUnit` `:251-258` — 2-layer bottleneck producing flow conditions.
+
+All appliers are pure: ``apply(params, state, ..., train) -> (out, state')``.
+Layout is channel-last; every conv is a channel matmul (see models/nn.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from puflow_tpu.models.nn import bn_apply, bn_init, linear_apply, linear_init
+from puflow_tpu.ops.knn import gather_points, knn_indices
+
+_FEU_SLOPE = 0.05   # FeatureExtractUnit LeakyReLU slope (reference :206,:217)
+_MLP_SLOPE = 0.01   # torch default slope (DistanceEncoder / WeightEstimation)
+
+INTERP_K = 8        # neighbours blended per new point (reference :167)
+R_MAX = 32          # max supported upratio (reference :142)
+
+
+# --------------------------------------------------------------------------
+# FeatureExtractUnit: densely-connected EdgeConv
+# --------------------------------------------------------------------------
+def feature_extract_init(key, idim: int, odim: int, growth_width: int):
+    assert odim % growth_width == 0
+    num_conv = odim // growth_width
+    edim = idim * 3
+    keys = jax.random.split(key, num_conv + 1)
+
+    convs, bn_states = [], []
+    in_ch = edim
+    for i in range(num_conv):
+        w = linear_init(keys[i], in_ch, growth_width)
+        bn_p, bn_s = bn_init(growth_width)
+        convs.append({"lin": w, "bn": bn_p})
+        bn_states.append(bn_s)
+        in_ch = edim + growth_width * (i + 1)
+
+    params = {
+        "convs": convs,
+        "conv_out": linear_init(keys[-1], in_ch, odim),
+    }
+    state = {"convs": bn_states}
+    return params, state
+
+
+def derive_edge_feat(x: jax.Array, knn_idx: jax.Array) -> jax.Array:
+    """x: [B, N, C], knn_idx: [B, N, K] -> [B, N, K, 3C].
+
+    Feature order matches reference `derive_edge_feat` (`:223-232`):
+    [x_tiled, knn_feat, knn_feat - x_tiled].
+    """
+    knn_feat = gather_points(x, knn_idx)                  # [B, N, K, C]
+    x_tiled = jnp.broadcast_to(x[:, :, None, :], knn_feat.shape)
+    return jnp.concatenate([x_tiled, knn_feat, knn_feat - x_tiled], axis=-1)
+
+
+def feature_extract_apply(params, state, x, knn_idx, train: bool,
+                          pooling: bool = True):
+    """x: [B, N, C] -> pooled [B, N, odim] or per-slot [B, N, K, odim]."""
+    f = derive_edge_feat(x, knn_idx)                       # [B, N, K, 3C]
+    new_bn = []
+    for conv_p, bn_s in zip(params["convs"], state["convs"]):
+        h = linear_apply(conv_p["lin"], f)
+        h, bn_s2 = bn_apply(conv_p["bn"], bn_s, h, train)
+        h = jax.nn.leaky_relu(h, _FEU_SLOPE)
+        new_bn.append(bn_s2)
+        f = jnp.concatenate([f, h], axis=-1)               # dense connectivity
+    f = linear_apply(params["conv_out"], f)                # [B, N, K, odim]
+    if pooling:
+        f = jnp.max(f, axis=2)                             # [B, N, odim]
+    return f, {"convs": new_bn}
+
+
+# --------------------------------------------------------------------------
+# DistanceEncoder
+# --------------------------------------------------------------------------
+def distance_encoder_init(key, dim_in: int = 3, dim_out: int = 128):
+    k0, k1, k2 = jax.random.split(key, 3)
+    c_in = dim_in * 3 + 1
+    bn0_p, bn0_s = bn_init(64)
+    bn1_p, bn1_s = bn_init(64)
+    params = {
+        "lin0": linear_init(k0, c_in, 64), "bn0": bn0_p,
+        "lin1": linear_init(k1, 64, 64), "bn1": bn1_p,
+        "lin2": linear_init(k2, 64, dim_out),
+    }
+    state = {"bn0": bn0_s, "bn1": bn1_s}
+    return params, state
+
+
+def distance_feat(xyz: jax.Array, knn_idx: jax.Array) -> jax.Array:
+    """[pt, neighbour, pt - neighbour, |pt - neighbour|] per slot.
+
+    Matches reference `distance_vec` (`:100-115`): note the vector is
+    point-minus-neighbour (opposite sign to FeatureExtractUnit's edge feat).
+    """
+    neighbours = gather_points(xyz, knn_idx)               # [B, N, k, 3]
+    pt = jnp.broadcast_to(xyz[:, :, None, :], neighbours.shape)
+    vec = pt - neighbours
+    dist = jnp.sqrt(jnp.sum(vec * vec, axis=-1, keepdims=True))
+    return jnp.concatenate([pt, neighbours, vec, dist], axis=-1)
+
+
+def distance_encoder_apply(params, state, xyz, knn_idx, train: bool):
+    f = distance_feat(xyz, knn_idx)                        # [B, N, k, 10]
+    h = linear_apply(params["lin0"], f)
+    h, bn0 = bn_apply(params["bn0"], state["bn0"], h, train)
+    h = jax.nn.leaky_relu(h, _MLP_SLOPE)
+    h = linear_apply(params["lin1"], h)
+    h, bn1 = bn_apply(params["bn1"], state["bn1"], h, train)
+    h = jax.nn.leaky_relu(h, _MLP_SLOPE)
+    h = linear_apply(params["lin2"], h)                    # [B, N, k, dim_out]
+    return h, {"bn0": bn0, "bn1": bn1}
+
+
+# --------------------------------------------------------------------------
+# KnnContextEncoder + WeightEstimationUnit + InterpolationModule
+# --------------------------------------------------------------------------
+def knn_context_init(key, pc_channel: int = 3):
+    k0, k1 = jax.random.split(key)
+    de_p, de_s = distance_encoder_init(k0, pc_channel, 128)
+    fe_p, fe_s = feature_extract_init(k1, pc_channel, 128, growth_width=16)
+    return (
+        {"distance_encoder": de_p, "feat_conv": fe_p},
+        {"distance_encoder": de_s, "feat_conv": fe_s},
+    )
+
+
+def knn_context_apply(params, state, xyz, knn_idx, train: bool):
+    """xyz: [B, N, 3]; knn_idx: [B, N, k]. Returns [B, N, k, 256]."""
+    dist, de_s = distance_encoder_apply(
+        params["distance_encoder"], state["distance_encoder"], xyz, knn_idx,
+        train)
+    feat, fe_s = feature_extract_apply(
+        params["feat_conv"], state["feat_conv"], xyz, knn_idx, train,
+        pooling=False)
+    ctx = jnp.concatenate([dist, feat], axis=-1)
+    return ctx, {"distance_encoder": de_s, "feat_conv": fe_s}
+
+
+def weight_unit_init(key, feat_dim: int = 256):
+    k0, k1, k2 = jax.random.split(key, 3)
+    bn0_p, bn0_s = bn_init(128)
+    bn1_p, bn1_s = bn_init(64)
+    params = {
+        "lin0": linear_init(k0, feat_dim, 128), "bn0": bn0_p,
+        "lin1": linear_init(k1, 128, 64), "bn1": bn1_p,
+        "lin2": linear_init(k2, 64, R_MAX),
+    }
+    state = {"bn0": bn0_s, "bn1": bn1_s}
+    return params, state
+
+
+def weight_unit_apply(params, state, context, train: bool):
+    """context: [B, N, k, C] -> logits [B, N, k, R_MAX]."""
+    h = linear_apply(params["lin0"], context)
+    h, bn0 = bn_apply(params["bn0"], state["bn0"], h, train)
+    h = jax.nn.leaky_relu(h, _MLP_SLOPE)
+    h = linear_apply(params["lin1"], h)
+    h, bn1 = bn_apply(params["bn1"], state["bn1"], h, train)
+    h = jax.nn.leaky_relu(h, _MLP_SLOPE)
+    h = linear_apply(params["lin2"], h)
+    return h, {"bn0": bn0, "bn1": bn1}
+
+
+def interpolation_init(key, pc_channel: int = 3):
+    k0, k1 = jax.random.split(key)
+    kc_p, kc_s = knn_context_init(k0, pc_channel)
+    wu_p, wu_s = weight_unit_init(k1, 256)
+    return (
+        {"knn_context": kc_p, "weight_unit": wu_p},
+        {"knn_context": kc_s, "weight_unit": wu_s},
+    )
+
+
+def interpolation_apply(params, state, z, xyz, upratio: int, train: bool):
+    """Blend each point's k-NN latents into `upratio` new latents.
+
+    z: [B, N, C] latents; xyz: [B, N, 3] input geometry (defines the graph).
+    Returns [B, N, C, upratio] — reference `InterpolationModule.forward`
+    (`:173-186`).
+    """
+    if not 1 <= upratio <= R_MAX:
+        raise ValueError(
+            f"upratio={upratio} out of range [1, {R_MAX}]: the weight head "
+            f"emits at most R_MAX={R_MAX} interpolation rows per point")
+    knn_idx = knn_indices(xyz, xyz, INTERP_K)
+    ctx, kc_s = knn_context_apply(
+        params["knn_context"], state["knn_context"], xyz, knn_idx, train)
+    logits, wu_s = weight_unit_apply(
+        params["weight_unit"], state["weight_unit"], ctx, train)
+    logits = logits[..., :upratio]                        # [B, N, k, r]
+    weights = jax.nn.softmax(logits, axis=2)              # softmax over k
+    nei = gather_points(z, knn_idx)                       # [B, N, k, C]
+    interp = jnp.einsum("bnkc,bnkr->bncr", nei, weights)
+    return interp, {"knn_context": kc_s, "weight_unit": wu_s}
+
+
+# --------------------------------------------------------------------------
+# FeatMergeUnit
+# --------------------------------------------------------------------------
+def feat_merge_init(key, idim: int, odim: int):
+    k0, k1 = jax.random.split(key)
+    return {
+        "conv1": linear_init(k0, idim, idim // 2),
+        "conv2": linear_init(k1, idim // 2, odim, bias=False),
+    }
+
+
+def feat_merge_apply(params, x: jax.Array) -> jax.Array:
+    return linear_apply(params["conv2"],
+                        jax.nn.relu(linear_apply(params["conv1"], x)))

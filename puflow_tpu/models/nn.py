@@ -1,0 +1,62 @@
+"""Minimal functional NN primitives: 1x1 conv (channel-last matmul), BatchNorm.
+
+All tensors are channel-last (``[B, N, K, C]`` / ``[B, N, C]``) so the channel
+contraction is the innermost matmul dimension — the layout XLA wants for MXU
+tiling. A torch ``Conv2d(kernel=[1,1])`` over ``[B, C, N, K]`` is exactly a
+per-position linear map, so here it *is* a matmul.
+
+BatchNorm is functional: parameters (scale/bias) live in the `params` pytree,
+running statistics in a separate `state` pytree; `train=True` uses batch
+statistics and returns updated running stats (torch semantics: biased batch
+variance for normalisation, unbiased for the running update, momentum 0.1).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+BN_EPS = 1e-5
+BN_MOMENTUM = 0.1
+
+
+def linear_init(key: jax.Array, cin: int, cout: int, bias: bool = True) -> dict:
+    bound = (1.0 / cin) ** 0.5
+    p = {"w": jax.random.uniform(key, (cin, cout), minval=-bound, maxval=bound)}
+    if bias:
+        p["b"] = jnp.zeros((cout,))
+    return p
+
+
+def linear_apply(params: dict, x: jax.Array) -> jax.Array:
+    y = x @ params["w"]
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
+def bn_init(channel: int):
+    params = {"scale": jnp.ones((channel,)), "bias": jnp.zeros((channel,))}
+    state = {"mean": jnp.zeros((channel,)), "var": jnp.ones((channel,))}
+    return params, state
+
+
+def bn_apply(params: dict, state: dict, x: jax.Array, train: bool):
+    """Normalise over all axes but the last. Returns (y, new_state)."""
+    if train:
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(x, axis=axes)
+        var = jnp.var(x, axis=axes)  # biased, used for normalisation
+        n = 1
+        for a in axes:
+            n *= x.shape[a]
+        unbiased = var * n / max(n - 1, 1)
+        new_state = {
+            "mean": (1 - BN_MOMENTUM) * state["mean"] + BN_MOMENTUM * mean,
+            "var": (1 - BN_MOMENTUM) * state["var"] + BN_MOMENTUM * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    inv = jax.lax.rsqrt(var + BN_EPS) * params["scale"]
+    return (x - mean) * inv + params["bias"], new_state

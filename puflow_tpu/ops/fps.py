@@ -1,0 +1,51 @@
+"""Farthest point sampling as a jit-safe sequential min-distance update.
+
+The greedy FPS recurrence is inherently sequential in the number of output
+points, but each step is a dense O(N) distance update + argmax that maps onto
+the VPU. We express it with `lax.fori_loop` carrying the running min-distance
+cache — the same math as the reference's pure-torch fallback
+(`modules/utils/fps.py:40-73`) and the pointnet2 CUDA kernel it mirrors
+(`modules/utils/patch.py:12`).
+
+Deterministic: starts from index 0 (matching pointnet2's CUDA kernel).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def farthest_point_sample(xyz: jax.Array, n_samples: int) -> jax.Array:
+    """Greedy farthest-point subset of each cloud.
+
+    Args:
+      xyz: ``[B, N, C]`` point clouds.
+      n_samples: number of points to select (static).
+
+    Returns:
+      ``[B, n_samples]`` int32 indices into the N axis.
+    """
+    B, N, _ = xyz.shape
+
+    def one_cloud(pts: jax.Array) -> jax.Array:
+        # carry: (selected indices [n_samples], min sq-dist to selected [N],
+        #         index of latest selected point)
+        init_idx = jnp.zeros((n_samples,), dtype=jnp.int32)
+        init_dist = jnp.full((N,), jnp.inf, dtype=jnp.float32)
+
+        def body(i, carry):
+            sel, mind, last = carry
+            delta = pts - pts[last]                       # [N, C]
+            d = jnp.sum(delta * delta, axis=-1)           # [N]
+            mind = jnp.minimum(mind, d)
+            nxt = jnp.argmax(mind).astype(jnp.int32)
+            sel = sel.at[i].set(nxt)
+            return sel, mind, nxt
+
+        sel, _, _ = jax.lax.fori_loop(
+            1, n_samples, body, (init_idx, init_dist, jnp.int32(0))
+        )
+        return sel
+
+    return jax.vmap(one_cloud)(xyz)

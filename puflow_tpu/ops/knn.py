@@ -1,0 +1,82 @@
+"""k-nearest-neighbour search and batched point gathering.
+
+TPU-first design notes
+----------------------
+The pairwise squared-distance matrix is computed as ``|x|^2 + |y|^2 - 2 x.y^T``
+so the dominant term is a batched matmul that XLA tiles onto the MXU. The
+top-k selection runs on the VPU via ``lax.top_k`` over the negated distances.
+For the patch sizes this framework cares about (N <= a few thousand per patch,
+K in {8, 16, 256}) this is already near the HBM-bandwidth roofline; a fused
+Pallas kernel (distance + top-k + gather in VMEM) lives in
+``puflow_tpu.ops.pallas.knn_pallas`` for the hot path.
+
+Capability parity: replaces `pytorch3d.ops.knn_points/knn_gather` usage at
+reference `modules/discrete/interpflow.py:9-10` and `knn_cuda.KNN` usage at
+reference `modules/utils/patch.py:8-10`.
+
+Ordering semantics: neighbours are returned sorted by ascending distance
+(ties broken by index, per `lax.top_k`). The reference used unsorted k-NN
+(`return_sorted=False`), but every consumer of neighbour order in the model is
+permutation-equivariant over neighbour slots (1x1 convs + softmax), so the
+convention difference cannot change model outputs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def pairwise_sqdist(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Squared euclidean distances between two point sets.
+
+    Args:
+      x: ``[..., N, C]`` query points.
+      y: ``[..., M, C]`` reference points.
+
+    Returns:
+      ``[..., N, M]`` squared distances, clamped at zero.
+    """
+    # |x|^2 + |y|^2 - 2 x.y^T : the cross term is a batched matmul (MXU).
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)            # [..., N, 1]
+    y2 = jnp.sum(y * y, axis=-1, keepdims=True)            # [..., M, 1]
+    cross = jnp.einsum(
+        "...nc,...mc->...nm", x, y, preferred_element_type=jnp.float32
+    )
+    d = x2 + jnp.swapaxes(y2, -1, -2) - 2.0 * cross
+    return jnp.maximum(d, 0.0)
+
+
+def knn_indices(
+    query: jax.Array, points: jax.Array, k: int, return_dist: bool = False
+):
+    """Indices (into ``points``) of the k nearest neighbours of each query.
+
+    Args:
+      query: ``[B, N, C]``.
+      points: ``[B, M, C]``.
+      k: number of neighbours (static).
+      return_dist: also return the squared distances.
+
+    Returns:
+      ``idx [B, N, k]`` int32 (ascending distance order), and optionally
+      ``sqdist [B, N, k]``.
+    """
+    d = pairwise_sqdist(query, points)                      # [B, N, M]
+    neg_d, idx = jax.lax.top_k(-d, k)                       # ascending distance
+    if return_dist:
+        return idx.astype(jnp.int32), -neg_d
+    return idx.astype(jnp.int32)
+
+
+def gather_points(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """Batched gather: ``out[b, ..., :] = points[b, idx[b, ...], :]``.
+
+    Args:
+      points: ``[B, M, C]``.
+      idx: ``[B, ...]`` integer indices into the M axis.
+
+    Returns:
+      ``[B, ..., C]``.
+    """
+    return jax.vmap(lambda p, i: p[i])(points, idx)

@@ -1,0 +1,140 @@
+"""Geometry-op correctness vs dense numpy oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from puflow_tpu.ops import (
+    chamfer_distance,
+    chamfer_parts,
+    emd_auction,
+    emd_loss,
+    farthest_point_sample,
+    gather_points,
+    hausdorff_distance,
+    knn_indices,
+    pairwise_sqdist,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _rand(key, shape):
+    return jax.random.uniform(key, shape, dtype=jnp.float32)
+
+
+class TestKnn:
+    def test_pairwise_matches_numpy(self):
+        x = _rand(KEY, (2, 9, 3))
+        y = _rand(jax.random.PRNGKey(1), (2, 13, 3))
+        got = np.asarray(pairwise_sqdist(x, y))
+        xn, yn = np.asarray(x), np.asarray(y)
+        want = ((xn[:, :, None, :] - yn[:, None, :, :]) ** 2).sum(-1)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_knn_indices(self):
+        x = _rand(KEY, (2, 40, 3))
+        idx = np.asarray(knn_indices(x, x, 5))
+        d = ((np.asarray(x)[:, :, None, :] -
+              np.asarray(x)[:, None, :, :]) ** 2).sum(-1)
+        want = np.argsort(d, axis=-1, kind="stable")[:, :, :5]
+        # compare the neighbour *distance sets* (index ties may reorder)
+        got_d = np.take_along_axis(d, idx, axis=-1)
+        want_d = np.take_along_axis(d, want, axis=-1)
+        np.testing.assert_allclose(np.sort(got_d, -1), np.sort(want_d, -1),
+                                   atol=1e-5)
+        # first neighbour of a self-query is the point itself
+        assert (idx[:, :, 0] == np.arange(40)[None, :]).all()
+
+    def test_gather(self):
+        pts = _rand(KEY, (2, 10, 3))
+        idx = jnp.array([[[0, 1], [2, 3]], [[4, 5], [6, 7]]], dtype=jnp.int32)
+        out = np.asarray(gather_points(pts, idx))
+        pn = np.asarray(pts)
+        assert out.shape == (2, 2, 2, 3)
+        np.testing.assert_allclose(out[0, 0, 1], pn[0, 1])
+        np.testing.assert_allclose(out[1, 1, 0], pn[1, 6])
+
+
+class TestFps:
+    def test_fps_spreads(self):
+        # clusters far apart: fps must pick one point from each
+        centers = np.array([[0, 0, 0], [10, 0, 0], [0, 10, 0], [0, 0, 10]],
+                           dtype=np.float32)
+        pts = np.concatenate(
+            [c + 0.1 * np.random.RandomState(i).randn(25, 3).astype(np.float32)
+             for i, c in enumerate(centers)])
+        idx = np.asarray(farthest_point_sample(jnp.asarray(pts)[None], 4))[0]
+        clusters = set(idx // 25)
+        assert clusters == {0, 1, 2, 3}
+        assert idx[0] == 0  # deterministic start
+
+    def test_fps_matches_greedy_oracle(self):
+        pts = np.random.RandomState(0).rand(50, 3).astype(np.float32)
+        m = 10
+        got = np.asarray(farthest_point_sample(jnp.asarray(pts)[None], m))[0]
+        # greedy numpy oracle
+        sel = [0]
+        dist = np.full(50, np.inf)
+        for _ in range(m - 1):
+            d = ((pts - pts[sel[-1]]) ** 2).sum(-1)
+            dist = np.minimum(dist, d)
+            sel.append(int(np.argmax(dist)))
+        np.testing.assert_array_equal(got, np.array(sel))
+
+
+class TestChamfer:
+    def test_parts_vs_numpy(self):
+        x = _rand(KEY, (2, 8, 3))
+        y = _rand(jax.random.PRNGKey(2), (2, 11, 3))
+        d_xy, i_xy, d_yx, i_yx = chamfer_parts(x, y)
+        d = ((np.asarray(x)[:, :, None, :] -
+              np.asarray(y)[:, None, :, :]) ** 2).sum(-1)
+        np.testing.assert_allclose(d_xy, d.min(-1), atol=1e-5)
+        np.testing.assert_allclose(d_yx, d.min(-2), atol=1e-5)
+        np.testing.assert_array_equal(i_xy, d.argmin(-1))
+        np.testing.assert_array_equal(i_yx, d.argmin(-2))
+
+    def test_identity_is_zero(self):
+        x = _rand(KEY, (2, 16, 3))
+        assert float(chamfer_distance(x, x)) < 1e-6
+        np.testing.assert_allclose(hausdorff_distance(x, x), 0.0, atol=1e-6)
+
+
+class TestEmd:
+    def test_perfect_match_is_zero(self):
+        x = _rand(KEY, (2, 64, 3))
+        perm = jax.random.permutation(jax.random.PRNGKey(3), 64)
+        y = x[:, perm]
+        dist, assignment = emd_auction(x, y, eps=0.002, iters=200)
+        # matched distance should be ~0: auction finds the permutation
+        assert float(jnp.mean(dist)) < 1e-3
+
+    def test_emd_close_to_optimal_on_small_problem(self):
+        rng = np.random.RandomState(0)
+        x = rng.rand(1, 32, 3).astype(np.float32)
+        y = rng.rand(1, 32, 3).astype(np.float32)
+        dist, assignment = emd_auction(jnp.asarray(x), jnp.asarray(y),
+                                       eps=0.001, iters=500)
+        got = float(jnp.sum(jnp.sqrt(dist)))
+        # optimal assignment via scipy-free Hungarian oracle (brute force on
+        # euclidean cost using lapjv-style greedy refinement is overkill —
+        # use scipy if available, else check against a permutation bound)
+        from scipy.optimize import linear_sum_assignment
+
+        cost = np.sqrt(((x[0, :, None, :] - y[0, None, :, :]) ** 2).sum(-1))
+        ri, ci = linear_sum_assignment(cost)
+        optimal = cost[ri, ci].sum()
+        assert got <= optimal * 1.05 + 1e-4
+        # assignment is a bijection when the auction converges
+        assert len(set(np.asarray(assignment)[0].tolist())) == 32
+
+    def test_gradient_matches_reference_rule(self):
+        x = _rand(KEY, (1, 16, 3))
+        y = _rand(jax.random.PRNGKey(5), (1, 16, 3))
+
+        grad = jax.grad(lambda a: emd_loss(a, y, eps=0.01, iters=100))(x)
+        _, assignment = emd_auction(x, y, eps=0.01, iters=100)
+        matched = np.asarray(y)[0][np.asarray(assignment)[0]]
+        want = 2.0 * (np.asarray(x)[0] - matched)
+        np.testing.assert_allclose(np.asarray(grad)[0], want, atol=1e-5)
