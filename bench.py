@@ -1,0 +1,91 @@
+"""Headline benchmark: patches/sec/chip for x4 2048 -> 8192 cloud upsampling.
+
+Runs the FULL inference pipeline (normalize -> FPS seeds -> k-NN patch
+extract -> flow model over all patches as one batch -> FPS merge ->
+denormalize) on batches of 2048-point clouds with the pretrained PU1K
+checkpoint (random init if the reference mount is absent). Each cloud
+contributes N/256*4 = 32 patches; throughput is reported per chip.
+
+Prints ONE JSON line:
+  {"metric": "patches_per_sec_per_chip", "value": N, "unit": "patches/s",
+   "vs_baseline": N}
+
+vs_baseline normalises against an estimated PyTorch-A100 reference
+throughput of 1000 patches/s for the same pipeline (the reference repo
+publishes no numbers — BASELINE.md; the target from BASELINE.json is >=10x,
+i.e. vs_baseline >= 10).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+ASSUMED_A100_PATCHES_PER_SEC = 1000.0
+CKPT = "/root/reference/pretrain/puflow-x4-pu1k.pt"
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import puflow_tpu  # noqa: F401  (precision policy)
+    from puflow_tpu.inference.patch import upsample_cloud
+    from puflow_tpu.models import discrete
+
+    if os.path.exists(CKPT):
+        from puflow_tpu.checkpoint import load_checkpoint
+
+        params, state, sample_fn = load_checkpoint(CKPT, "discrete")
+        params = jax.tree.map(jnp.asarray, params)
+        state = jax.tree.map(jnp.asarray, state)
+    else:
+        params, state = discrete.init(jax.random.PRNGKey(0))
+
+        def sample_fn(model_params, patches, upratio):
+            p, s = model_params
+            return discrete.sample(p, s, patches, upratio)
+
+    n_chips = jax.device_count()
+    B, N, R = 8, 2048, 4
+    n_patch_per_cloud = int(N / 256 * 4)
+    npoint = N * R + 24
+
+    key = jax.random.PRNGKey(1)
+    pts = jax.random.normal(key, (B, N, 3), dtype=jnp.float32)
+    pts = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+
+    model_params = (params, state)
+
+    def run(pc):
+        return upsample_cloud(model_params, pc, sample_fn, npoint, R, 256,
+                              4.0)
+
+    import numpy as np
+
+    # compile + warm up. NOTE: on this remote-TPU platform
+    # `block_until_ready` can return before execution completes; a
+    # device->host transfer (np.asarray) is the reliable sync.
+    out = run(pts)
+    np.asarray(out)
+
+    iters = 5
+    t0 = time.time()
+    for _ in range(iters):
+        out = run(pts)
+        np.asarray(out)
+    dt = (time.time() - t0) / iters
+
+    patches_per_sec = B * n_patch_per_cloud / dt / n_chips
+    print(json.dumps({
+        "metric": "patches_per_sec_per_chip",
+        "value": round(patches_per_sec, 1),
+        "unit": "patches/s",
+        "vs_baseline": round(patches_per_sec / ASSUMED_A100_PATCHES_PER_SEC,
+                             2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Upsample .xyz point clouds with a (converted) PU-Flow checkpoint.
+
+CLI parity with reference `modules/discrete/upsample.py:63-86`:
+
+    python -m puflow_tpu.cli.upsample --source <dir> --target <dir> \
+        --checkpoint <ckpt> --up_ratio 4 [--num_patch 256] [--num_out N] \
+        [--seed 2021] [--model discrete|cnf]
+
+Accepts either a reference torch `.pt` state_dict (converted on the fly) or a
+native `.npz` checkpoint saved by this framework. Clouds are grouped by point
+count so each unique shape compiles exactly once.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from collections import defaultdict
+from pathlib import Path
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--source", type=str, required=True)
+    parser.add_argument("--target", type=str, required=True)
+    parser.add_argument("--seed", type=int, default=2021)
+    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument("--up_ratio", type=int, default=4)
+    parser.add_argument("--num_patch", type=int, default=256,
+                        help="points per patch")
+    parser.add_argument("--num_out", type=int, default=None,
+                        help="output points per cloud (default N*ratio)")
+    parser.add_argument("--num_outlier", type=int, default=24)
+    parser.add_argument("--model", choices=["discrete", "cnf"],
+                        default="discrete")
+    parser.add_argument("--batch", type=int, default=1,
+                        help="clouds per device batch")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    import puflow_tpu  # noqa: F401  (precision policy)
+    from puflow_tpu.checkpoint import load_checkpoint
+    from puflow_tpu.inference.patch import remove_outliers, upsample_cloud
+    from puflow_tpu.utils.io import load_xyz, save_xyz
+
+    rng = np.random.RandomState(args.seed)
+    params, state, sample_fn = load_checkpoint(args.checkpoint, args.model)
+    model_params = (jax.tree.map(jnp.asarray, params),
+                    jax.tree.map(jnp.asarray, state))
+
+    os.makedirs(args.target, exist_ok=True)
+    paths = []
+    for root, _dirs, files in os.walk(args.source):
+        paths.extend(os.path.join(root, f) for f in files if ".xyz" in f)
+    paths.sort()
+    if not paths:
+        raise SystemExit(f"no .xyz files under {args.source}")
+
+    # group by point count: one jit compilation per unique shape
+    by_n = defaultdict(list)
+    for p in paths:
+        pts = load_xyz(p)[:, :3]
+        by_n[pts.shape[0]].append((p, pts))
+
+    t_start = time.time()
+    n_done = 0
+    for n, items in sorted(by_n.items()):
+        npoint = (args.num_out or n * args.up_ratio) + args.num_outlier
+        for path, pts in items:
+            pts = pts[rng.permutation(n)]  # reference `upsample.py:44`
+            cloud = jnp.asarray(pts)[None]
+            pred = upsample_cloud(
+                model_params, cloud, sample_fn, npoint, args.up_ratio,
+                args.num_patch, 4.0)
+            if args.num_outlier > 0:
+                pred = remove_outliers(pred, cloud, args.num_outlier)
+            out = np.asarray(pred[0])
+            save_xyz(Path(args.target) / os.path.basename(path), out)
+            n_done += 1
+    dt = time.time() - t_start
+    print(f"upsampled {n_done} clouds in {dt:.1f}s "
+          f"({n_done / dt:.2f} clouds/s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Whole-cloud upsampling by patch decomposition, fully jit-compiled.
+
+Pipeline parity with reference `modules/utils/patch.py` (`PatchHelper`):
+
+  1. normalise the cloud to the unit sphere            (`:168-178`)
+  2. FPS seed centroids, n_patch = N/patch_size*expand (`:100-106`)
+  3. k-NN patch extraction (k = patch_size)            (`:112-125`)
+  4. per-patch normalise -> model.sample -> append the
+     input patch points -> denormalise                 (`:82-93`)
+  5. merge: concat all patches, FPS down to npoint     (`:142-159`)
+  6. denormalise globally                              (`:75-76`)
+  7. outlier removal: drop the `num_outliers` points
+     farthest (NN distance) from the input cloud       (`:198-214`)
+
+TPU-first: the whole pipeline — FPS, k-NN, all patches through the network
+as ONE batch, merge — is a single jitted function with static shapes, so one
+compilation serves an entire dataset of same-size clouds, and the patch axis
+can be sharded over a device mesh (`puflow_tpu.parallel`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from puflow_tpu.ops.chamfer import chamfer_parts
+from puflow_tpu.ops.fps import farthest_point_sample
+from puflow_tpu.ops.knn import gather_points, knn_indices
+
+
+def normalize_cloud(pc: jax.Array):
+    """Centre and scale each cloud into the unit sphere.
+
+    pc: [B, N, 3] -> (normalised, centroid [B,1,3], furthest [B,1,1]).
+    """
+    centroid = jnp.mean(pc, axis=1, keepdims=True)
+    pc = pc - centroid
+    furthest = jnp.max(
+        jnp.sqrt(jnp.sum(pc * pc, axis=-1, keepdims=True)), axis=1,
+        keepdims=True)
+    return pc / furthest, centroid, furthest
+
+
+def extract_patches(pc: jax.Array, n_patch: int, patch_size: int):
+    """FPS seeds + k-NN membership -> [B, n_patch, patch_size, 3]."""
+    seed_idx = farthest_point_sample(pc, n_patch)          # [B, n_patch]
+    seeds = gather_points(pc, seed_idx)                    # [B, n_patch, 3]
+    idx = knn_indices(seeds, pc, patch_size)               # [B, n_patch, k]
+    return gather_points(pc, idx)                          # [B, n_patch, k, 3]
+
+
+def merge_patches(points: jax.Array, npoint: int) -> jax.Array:
+    """FPS-downsample the union of patch points to the target count."""
+    idx = farthest_point_sample(points, npoint)
+    return gather_points(points, idx)
+
+
+def remove_outliers(sr: jax.Array, lr: jax.Array, num_outliers: int):
+    """Drop the `num_outliers` sr-points farthest from lr, preserving order.
+
+    Matches reference `PatchHelper.remove_outliers` (`patch.py:198-214`).
+    sr: [B, N, 3]; lr: [B, M, 3] -> [B, N - num_outliers, 3].
+    """
+    if num_outliers == 0:
+        return sr
+    B, N, _ = sr.shape
+    d_xy, _, _, _ = chamfer_parts(sr, lr)                  # [B, N]
+    # indices of the top-k outliers
+    _, out_idx = jax.lax.top_k(d_xy, num_outliers)         # [B, k]
+    keep = jnp.ones((B, N), dtype=bool)
+    keep = jax.vmap(lambda m, i: m.at[i].set(False))(keep, out_idx)
+    # stable selection of kept points in original order
+    order = jnp.argsort(jnp.where(keep, 0, 1), axis=-1, stable=True)
+    kept_idx = order[:, : N - num_outliers]
+    return gather_points(sr, kept_idx)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def upsample_cloud(model_params, pc: jax.Array, sample_fn, npoint: int,
+                   upratio: int = 4, patch_size: int = 256,
+                   expand_ratio: float = 4.0) -> jax.Array:
+    """Upsample whole clouds patch-wise.
+
+    Args:
+      model_params: pytree passed through to `sample_fn`.
+      pc: ``[B, N, 3]`` input clouds.
+      sample_fn: static callable ``(model_params, patches [M, k, 3], upratio)
+        -> [M, k * upratio, 3]`` — the jittable per-patch upsampler.
+      npoint: output points per cloud (static).
+      upratio, patch_size, expand_ratio: static pipeline knobs.
+
+    Returns:
+      ``[B, npoint, 3]``.
+    """
+    B, N, C = pc.shape
+    n_patch = int(N / patch_size * expand_ratio)
+
+    pc_n, g_centroid, g_furthest = normalize_cloud(pc)
+
+    patches = extract_patches(pc_n, n_patch, patch_size)   # [B, P, k, 3]
+    flat = patches.reshape(B * n_patch, patch_size, C)
+
+    flat_n, centroids, furthest = normalize_cloud(flat)
+    pred = sample_fn(model_params, flat_n, upratio)        # [B*P, k*r, 3]
+    pred = jnp.concatenate([pred, flat_n], axis=1)         # append inputs
+    pred = pred * furthest + centroids
+    pred = pred.reshape(B, -1, C)                          # [B, P*k*(r+1), 3]
+
+    merged = merge_patches(pred, npoint)                   # [B, npoint, 3]
+    return merged * g_furthest + g_centroid
