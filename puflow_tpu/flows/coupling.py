@@ -46,14 +46,21 @@ def linear_a1d_init(key: jax.Array, dim_in: int, dim_h: int, dim_out: int,
 
 
 def linear_a1d_apply(params: dict, h: jax.Array, c: jax.Array | None = None):
-    """h: [..., dim_in]; c: [..., dim_c] or None -> [..., dim_out]."""
+    """h: [..., dim_in]; c: [..., dim_c] or None -> [..., dim_out] float32.
+
+    Computes in the widest input dtype (bf16 conditions + f32 coords -> the
+    caller picks by casting `h` to match `c`); the output is cast to float32
+    because it feeds exp/logdet flow arithmetic.
+    """
     if c is not None:
-        h = jnp.concatenate([h, c], axis=-1)
-    h = h @ params["w0"]                      # no bias (reference :33)
+        h = jnp.concatenate([h.astype(c.dtype), c], axis=-1)
+    dt = h.dtype
+    h = h @ params["w0"].astype(dt)           # no bias (reference :33)
     h = jax.nn.leaky_relu(h, _LEAKY_SLOPE)
-    h = h @ params["w1"] + params["b1"]
+    h = h @ params["w1"].astype(dt) + params["b1"].astype(dt)
     h = jax.nn.leaky_relu(h, _LEAKY_SLOPE)
-    return h @ params["w2"] + params["b2"]
+    out = h @ params["w2"].astype(dt) + params["b2"].astype(dt)
+    return out.astype(jnp.float32)
 
 
 # --------------------------------------------------------------------------

@@ -52,7 +52,7 @@ from puflow_tpu.models.encoder import (
     interpolation_apply,
     interpolation_init,
 )
-from puflow_tpu.ops.knn import knn_indices
+from puflow_tpu.ops.knn import knn_indices, make_neighbor_gather
 
 NUM_BLOCKS = 6
 NUM_NEIGHBORS = 16   # encoder k-NN (reference :268)
@@ -150,13 +150,20 @@ def init(key, spec: ModelSpec = ModelSpec()):
     return params, state
 
 
-def feat_extract(params, state, xyz, knn_idx, train: bool):
-    """EdgeConv pyramid -> per-block conditions (reference `:292-300`)."""
+def feat_extract(params, state, xyz, knn_idx, train: bool, dtype=None):
+    """EdgeConv pyramid -> per-block conditions (reference `:292-300`).
+
+    `dtype` (e.g. bfloat16) selects the compute precision of the conv
+    pyramid; conditions are emitted in that dtype and the coupling MLPs cast
+    their outputs back to float32 before any flow arithmetic.
+    """
     cs, new_fs = [], []
-    c = xyz
+    c = xyz if dtype is None else xyz.astype(dtype)
+    gather_fn = make_neighbor_gather(knn_idx, xyz.shape[1], dtype)
     for fp, fs, mp in zip(params["feat_convs"], state["feat_convs"],
                           params["merge_convs"]):
-        c, fs2 = feature_extract_apply(fp, fs, c, knn_idx, train)
+        c, fs2 = feature_extract_apply(fp, fs, c, knn_idx, train, dtype=dtype,
+                                       gather_fn=gather_fn)
         new_fs.append(fs2)
         cs.append(feat_merge_apply(mp, c))
     return cs, new_fs
@@ -194,26 +201,29 @@ def log_prob(params, x, cs):
 
 
 def forward(params, state, xyz, upratio: int, train: bool = False,
-            spec: ModelSpec = ModelSpec()):
+            spec: ModelSpec = ModelSpec(), dtype=None):
     """Full upsampling pass: ``[B, N, 3] -> ([B, N*r, 3], scalar NLL, state')``.
 
-    Reference `PointInterpFlow.forward` (`:327-337`).
+    Reference `PointInterpFlow.forward` (`:327-337`). `dtype=jnp.bfloat16`
+    selects the fast inference path: encoder/coupling nets on the MXU in
+    bf16, flow arithmetic and log-dets in float32.
     """
     knn_idx = knn_indices(xyz, xyz, spec.num_neighbors)
-    cs, feat_s = feat_extract(params, state, xyz, knn_idx, train)
+    cs, feat_s = feat_extract(params, state, xyz, knn_idx, train, dtype=dtype)
     z, logp_x = log_prob(params, xyz, cs)
     fz, interp_s = interpolation_apply(
-        params["interp"], state["interp"], z, xyz, upratio, train)
+        params["interp"], state["interp"], z, xyz, upratio, train,
+        dtype=dtype)
     x = g_transform(params, fz, cs, upratio)
     new_state = {"interp": interp_s, "feat_convs": feat_s}
     return x, logp_x, new_state
 
 
 def sample(params, state, sparse, upratio: int = 4,
-           spec: ModelSpec = ModelSpec()):
+           spec: ModelSpec = ModelSpec(), dtype=None):
     """Inference entry: dense cloud only (reference `sample`, `:347-350`)."""
     dense, _, _ = forward(params, state, sparse, upratio, train=False,
-                          spec=spec)
+                          spec=spec, dtype=dtype)
     return dense
 
 

@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from puflow_tpu.models.nn import bn_apply, bn_init, linear_apply, linear_init
-from puflow_tpu.ops.knn import gather_points, knn_indices
+from puflow_tpu.ops.knn import (gather_points, knn_indices,
+                                make_neighbor_gather)
 
 _FEU_SLOPE = 0.05   # FeatureExtractUnit LeakyReLU slope (reference :206,:217)
 _MLP_SLOPE = 0.01   # torch default slope (DistanceEncoder / WeightEstimation)
@@ -67,20 +68,62 @@ def derive_edge_feat(x: jax.Array, knn_idx: jax.Array) -> jax.Array:
     return jnp.concatenate([x_tiled, knn_feat, knn_feat - x_tiled], axis=-1)
 
 
+def _edge_linear(w: jax.Array, b, x: jax.Array, nbr_gather, h_cat,
+                 dtype) -> jax.Array:
+    """Apply a conv whose input is [x_i, x_j, x_j - x_i, h...] WITHOUT
+    materialising the 3C edge features.
+
+    The edge block of the weight factorises exactly:
+        [x_i, x_j, x_j - x_i] @ [W_x; W_n; W_d]
+      = x_i @ (W_x - W_d) + x_j @ (W_n + W_d)
+    so the 3C-channel per-slot matmul becomes two per-POINT matmuls (K times
+    fewer FLOPs) plus a gather of the small G-dim result — this removes the
+    HBM-bandwidth wall of the naive EdgeConv (the [B, N, K, 3C] tensor never
+    exists). Bitwise-equivalent math up to fp reassociation.
+
+    Args: w [3C + P, G]; x [B, N, C]; nbr_gather: fn gathering [B, N, G'] ->
+    [B, N, K, G']; h_cat [B, N, K, P] or None.
+    """
+    C = x.shape[-1]
+    dt = dtype or x.dtype
+    w = w.astype(dt)
+    w_x, w_n, w_d = w[:C], w[C:2 * C], w[2 * C:3 * C]
+    xc = x.astype(dt)
+    p_self = xc @ (w_x - w_d)                            # [B, N, G]
+    p_nbr = nbr_gather(xc @ (w_n + w_d))                 # [B, N, K, G]
+    y = p_self[:, :, None, :] + p_nbr
+    if h_cat is not None:
+        y = y + h_cat @ w[3 * C:]
+    if b is not None:
+        y = y + b.astype(dt)
+    return y
+
+
 def feature_extract_apply(params, state, x, knn_idx, train: bool,
-                          pooling: bool = True):
-    """x: [B, N, C] -> pooled [B, N, odim] or per-slot [B, N, K, odim]."""
-    f = derive_edge_feat(x, knn_idx)                       # [B, N, K, 3C]
+                          pooling: bool = True, dtype=None, gather_fn=None):
+    """x: [B, N, C] -> pooled [B, N, odim] or per-slot [B, N, K, odim].
+
+    `dtype` selects the compute precision of the conv stack (bf16 = fast MXU
+    path for inference); statistics and pooling semantics are unaffected.
+    Uses the factored edge-conv (see `_edge_linear`) for every layer of the
+    densely-connected stack; `gather_fn` (from `make_neighbor_gather`) lets
+    callers share one one-hot gather matrix across layers/blocks.
+    """
+    nbr_gather = gather_fn or make_neighbor_gather(knn_idx, x.shape[1],
+                                                   dtype)
+    h_cat = None
     new_bn = []
     for conv_p, bn_s in zip(params["convs"], state["convs"]):
-        h = linear_apply(conv_p["lin"], f)
+        h = _edge_linear(conv_p["lin"]["w"], conv_p["lin"].get("b"), x,
+                         nbr_gather, h_cat, dtype)
         h, bn_s2 = bn_apply(conv_p["bn"], bn_s, h, train)
         h = jax.nn.leaky_relu(h, _FEU_SLOPE)
         new_bn.append(bn_s2)
-        f = jnp.concatenate([f, h], axis=-1)               # dense connectivity
-    f = linear_apply(params["conv_out"], f)                # [B, N, K, odim]
+        h_cat = h if h_cat is None else jnp.concatenate([h_cat, h], axis=-1)
+    f = _edge_linear(params["conv_out"]["w"], params["conv_out"].get("b"), x,
+                     nbr_gather, h_cat, dtype)            # [B, N, K, odim]
     if pooling:
-        f = jnp.max(f, axis=2)                             # [B, N, odim]
+        f = jnp.max(f, axis=2)                            # [B, N, odim]
     return f, {"convs": new_bn}
 
 
@@ -114,8 +157,11 @@ def distance_feat(xyz: jax.Array, knn_idx: jax.Array) -> jax.Array:
     return jnp.concatenate([pt, neighbours, vec, dist], axis=-1)
 
 
-def distance_encoder_apply(params, state, xyz, knn_idx, train: bool):
+def distance_encoder_apply(params, state, xyz, knn_idx, train: bool,
+                           dtype=None):
     f = distance_feat(xyz, knn_idx)                        # [B, N, k, 10]
+    if dtype is not None:
+        f = f.astype(dtype)
     h = linear_apply(params["lin0"], f)
     h, bn0 = bn_apply(params["bn0"], state["bn0"], h, train)
     h = jax.nn.leaky_relu(h, _MLP_SLOPE)
@@ -139,14 +185,17 @@ def knn_context_init(key, pc_channel: int = 3):
     )
 
 
-def knn_context_apply(params, state, xyz, knn_idx, train: bool):
+def knn_context_apply(params, state, xyz, knn_idx, train: bool, dtype=None,
+                      gather_fn=None):
     """xyz: [B, N, 3]; knn_idx: [B, N, k]. Returns [B, N, k, 256]."""
+    if gather_fn is None:
+        gather_fn = make_neighbor_gather(knn_idx, xyz.shape[1], dtype)
     dist, de_s = distance_encoder_apply(
         params["distance_encoder"], state["distance_encoder"], xyz, knn_idx,
-        train)
+        train, dtype=dtype)
     feat, fe_s = feature_extract_apply(
         params["feat_conv"], state["feat_conv"], xyz, knn_idx, train,
-        pooling=False)
+        pooling=False, dtype=dtype, gather_fn=gather_fn)
     ctx = jnp.concatenate([dist, feat], axis=-1)
     return ctx, {"distance_encoder": de_s, "feat_conv": fe_s}
 
@@ -165,7 +214,10 @@ def weight_unit_init(key, feat_dim: int = 256):
 
 
 def weight_unit_apply(params, state, context, train: bool):
-    """context: [B, N, k, C] -> logits [B, N, k, R_MAX]."""
+    """context: [B, N, k, C] -> logits [B, N, k, R_MAX].
+
+    Runs in the compute dtype `context` arrives in (bf16 on the fast path).
+    """
     h = linear_apply(params["lin0"], context)
     h, bn0 = bn_apply(params["bn0"], state["bn0"], h, train)
     h = jax.nn.leaky_relu(h, _MLP_SLOPE)
@@ -186,7 +238,8 @@ def interpolation_init(key, pc_channel: int = 3):
     )
 
 
-def interpolation_apply(params, state, z, xyz, upratio: int, train: bool):
+def interpolation_apply(params, state, z, xyz, upratio: int, train: bool,
+                        dtype=None):
     """Blend each point's k-NN latents into `upratio` new latents.
 
     z: [B, N, C] latents; xyz: [B, N, 3] input geometry (defines the graph).
@@ -198,11 +251,13 @@ def interpolation_apply(params, state, z, xyz, upratio: int, train: bool):
             f"upratio={upratio} out of range [1, {R_MAX}]: the weight head "
             f"emits at most R_MAX={R_MAX} interpolation rows per point")
     knn_idx = knn_indices(xyz, xyz, INTERP_K)
+    gather_fn = make_neighbor_gather(knn_idx, xyz.shape[1], dtype)
     ctx, kc_s = knn_context_apply(
-        params["knn_context"], state["knn_context"], xyz, knn_idx, train)
+        params["knn_context"], state["knn_context"], xyz, knn_idx, train,
+        dtype=dtype, gather_fn=gather_fn)
     logits, wu_s = weight_unit_apply(
         params["weight_unit"], state["weight_unit"], ctx, train)
-    logits = logits[..., :upratio]                        # [B, N, k, r]
+    logits = logits[..., :upratio].astype(jnp.float32)    # [B, N, k, r]
     weights = jax.nn.softmax(logits, axis=2)              # softmax over k
     nei = gather_points(z, knn_idx)                       # [B, N, k, C]
     interp = jnp.einsum("bnkc,bnkr->bncr", nei, weights)

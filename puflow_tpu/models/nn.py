@@ -29,9 +29,10 @@ def linear_init(key: jax.Array, cin: int, cout: int, bias: bool = True) -> dict:
 
 
 def linear_apply(params: dict, x: jax.Array) -> jax.Array:
-    y = x @ params["w"]
+    """Channel matmul in x's dtype: bf16 inputs select fast MXU passes."""
+    y = x @ params["w"].astype(x.dtype)
     if "b" in params:
-        y = y + params["b"]
+        y = y + params["b"].astype(x.dtype)
     return y
 
 
@@ -42,11 +43,16 @@ def bn_init(channel: int):
 
 
 def bn_apply(params: dict, state: dict, x: jax.Array, train: bool):
-    """Normalise over all axes but the last. Returns (y, new_state)."""
+    """Normalise over all axes but the last. Returns (y, new_state).
+
+    Statistics are always float32; the affine application runs in x's dtype
+    so a bf16 activation path stays bf16 end to end.
+    """
     if train:
         axes = tuple(range(x.ndim - 1))
-        mean = jnp.mean(x, axis=axes)
-        var = jnp.var(x, axis=axes)  # biased, used for normalisation
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=axes)
+        var = jnp.var(xf, axis=axes)  # biased, used for normalisation
         n = 1
         for a in axes:
             n *= x.shape[a]
@@ -59,4 +65,6 @@ def bn_apply(params: dict, state: dict, x: jax.Array, train: bool):
         mean, var = state["mean"], state["var"]
         new_state = state
     inv = jax.lax.rsqrt(var + BN_EPS) * params["scale"]
-    return (x - mean) * inv + params["bias"], new_state
+    y = (x - mean.astype(x.dtype)) * inv.astype(x.dtype) + (
+        params["bias"].astype(x.dtype))
+    return y, new_state

@@ -80,3 +80,51 @@ def gather_points(points: jax.Array, idx: jax.Array) -> jax.Array:
       ``[B, ..., C]``.
     """
     return jax.vmap(lambda p, i: p[i])(points, idx)
+
+
+def neighbor_onehot(idx: jax.Array, m: int, dtype=jnp.float32) -> jax.Array:
+    """One-hot neighbour-selection matrix for matmul-gathers.
+
+    TPU gather HLO runs at ~element-per-cycle scalar speed; re-expressing a
+    [B, N, K, C] neighbour gather as ``onehot @ values`` moves it onto the
+    MXU (two orders of magnitude faster at these shapes). The one-hot is
+    built ONCE per forward and reused by every layer that gathers over the
+    same k-NN graph.
+
+    Args:
+      idx: ``[B, N, K]`` int indices into an m-point cloud.
+    Returns:
+      ``[B, N*K, m]`` with a single 1 per row.
+    """
+    B, N, K = idx.shape
+    flat = idx.reshape(B, N * K, 1)
+    cols = jnp.arange(m, dtype=idx.dtype)[None, None, :]
+    return (flat == cols).astype(dtype)
+
+
+def make_neighbor_gather(knn_idx: jax.Array, m: int, dtype=None):
+    """Best neighbour-gather strategy for the current backend.
+
+    Returns ``gather(values [B, m, C]) -> [B, N, K, C]`` over a FIXED k-NN
+    graph. On TPU this closes over a one-hot matrix (built once, every call
+    is an MXU matmul); on CPU it stays a direct gather.
+    """
+    if jax.default_backend() == "cpu":
+        return lambda v: gather_points(v, knn_idx)
+    onehot = neighbor_onehot(knn_idx, m, dtype=dtype or jnp.float32)
+    k = knn_idx.shape[-1]
+    return lambda v: gather_by_onehot(v, onehot, k)
+
+
+def gather_by_onehot(values: jax.Array, onehot: jax.Array,
+                     k: int) -> jax.Array:
+    """``[B, M, C] x [B, N*K, M] -> [B, N, K, C]`` on the MXU.
+
+    Exact for bf16 values; for f32 values the 3-pass ('high') matmul keeps
+    ~f32 precision while staying 2x faster than the 6-pass default.
+    """
+    prec = ("default" if values.dtype == jnp.bfloat16 else "high")
+    out = jnp.einsum("bpm,bmc->bpc", onehot, values.astype(onehot.dtype),
+                     precision=prec)
+    B, P, C = out.shape
+    return out.reshape(B, P // k, k, C)
