@@ -1,13 +1,8 @@
-"""Train the discrete model on PU1K patches.
+"""Train the continuous (CNF) model on PU1K patches.
 
-CLI parity with reference `modules/discrete/train_pu1k.py` (same defaults:
-batch 32, patch 256 -> 1024 (x4), 100 epochs, Adam 1e-3,
-ReduceLROnPlateau(0.5, patience 10, min_lr 1e-4), grad clip 1e-2, loss
-logpx*1e-4 + EMD*5e-2).
-
-    python -m puflow_tpu.cli.train_pu1k --data <pu1k.h5> \
-        [--checkpoint runs/ckpt/puflow-pu1k.npz] [--begin_checkpoint ck] \
-        [--synthetic N]  # N synthetic steps/epoch when no h5 is available
+Parity with reference `modules/continuous/train_interp.py`: same optimizer /
+schedule / loss weights as the discrete PU1K run, flow blocks replaced by
+conditional CNFs (dopri5, trainable T).
 """
 
 from __future__ import annotations
@@ -16,7 +11,7 @@ from puflow_tpu.cli._train_common import build_parser, run_training
 
 DEFAULTS = {
     "data": "data/pu1k_poisson_256_poisson_1024_pc_2500_patch50_addpugan.h5",
-    "checkpoint": "runs/ckpt/puflow-pu1k.npz",
+    "checkpoint": "runs/ckpt/puflow-cnf-pu1k.npz",
     "learning_rate": 1e-3,
     "max_epochs": 100,
 }
@@ -35,7 +30,7 @@ def _loaders(args):
 
 def main(argv=None):
     args = build_parser(DEFAULTS).parse_args(argv)
-    return run_training(args, "discrete", _loaders)
+    return run_training(args, "cnf", _loaders)
 
 
 if __name__ == "__main__":

@@ -98,33 +98,8 @@ def _mlp3(sd: dict, prefix: str):
 
 def convert_discrete(sd: dict, num_blocks: int = 6):
     """Reference `PointInterpFlow` state_dict -> (params, state) pytrees."""
-    # --- interp ---
-    de_p, de_s = _mlp3(sd, "interp.knn_context.distance_encoder.mlp")
-    fc_p, fc_s = _feature_extract(sd, "interp.knn_context.feat_conv",
-                                  num_conv=128 // 16)
-    wu_p, wu_s = _mlp3(sd, "interp.weight_unit.mlp")
-    interp_p = {
-        "knn_context": {"distance_encoder": de_p, "feat_conv": fc_p},
-        "weight_unit": wu_p,
-    }
-    interp_s = {
-        "knn_context": {"distance_encoder": de_s, "feat_conv": fc_s},
-        "weight_unit": wu_s,
-    }
-
-    # --- encoder pyramid ---
-    odims = [32, 64] + [128] * (num_blocks - 2)
-    growths = [8, 16] + [32] * (num_blocks - 2)
-    feat_p, feat_s, merge_p = [], [], []
-    for i in range(num_blocks):
-        fp, fs = _feature_extract(sd, f"feat_convs.{i}",
-                                  num_conv=odims[i] // growths[i])
-        feat_p.append(fp)
-        feat_s.append(fs)
-        merge_p.append({
-            "conv1": _linear(sd, f"merge_convs.{i}.conv1"),
-            "conv2": _linear(sd, f"merge_convs.{i}.conv2", bias=False),
-        })
+    interp_p, interp_s, feat_p, feat_s, merge_p = _encoder_trees(
+        sd, num_blocks)
 
     # --- flow blocks ---
     flow_p = []
@@ -164,3 +139,77 @@ def convert_discrete(sd: dict, num_blocks: int = 6):
 def load_discrete_checkpoint(path: str):
     """One-call loader: torch .pt -> jax-ready (params, state) of numpy arrays."""
     return convert_discrete(load_torch_state_dict(path))
+
+
+def _encoder_trees(sd: dict, num_blocks: int):
+    """Shared interp/feat/merge conversion (identical in both families)."""
+    de_p, de_s = _mlp3(sd, "interp.knn_context.distance_encoder.mlp")
+    fc_p, fc_s = _feature_extract(sd, "interp.knn_context.feat_conv",
+                                  num_conv=128 // 16)
+    wu_p, wu_s = _mlp3(sd, "interp.weight_unit.mlp")
+    interp_p = {
+        "knn_context": {"distance_encoder": de_p, "feat_conv": fc_p},
+        "weight_unit": wu_p,
+    }
+    interp_s = {
+        "knn_context": {"distance_encoder": de_s, "feat_conv": fc_s},
+        "weight_unit": wu_s,
+    }
+    odims = [32, 64] + [128] * (num_blocks - 2)
+    growths = [8, 16] + [32] * (num_blocks - 2)
+    feat_p, feat_s, merge_p = [], [], []
+    for i in range(num_blocks):
+        fp, fs = _feature_extract(sd, f"feat_convs.{i}",
+                                  num_conv=odims[i] // growths[i])
+        feat_p.append(fp)
+        feat_s.append(fs)
+        merge_p.append({
+            "conv1": _linear(sd, f"merge_convs.{i}.conv1"),
+            "conv2": _linear(sd, f"merge_convs.{i}.conv2", bias=False),
+        })
+    return interp_p, interp_s, feat_p, feat_s, merge_p
+
+
+def convert_cnf(sd: dict, num_blocks: int = 6):
+    """Reference continuous `PointInterpFlow` state_dict -> (params, state).
+
+    CNF block layout (see reference `cnf.py:40`, `odefunc.py`,
+    `diffeq_layers.py:72-77`): per block `cnf.sqrt_end_time` scalar and 3
+    ConcatSquashLinear layers (`_layer` with bias, `_hyper_bias` without,
+    `_hyper_gate` with). `odefunc._num_evals` is an introspection buffer and
+    is dropped.
+    """
+    interp_p, interp_s, feat_p, feat_s, merge_p = _encoder_trees(
+        sd, num_blocks)
+
+    flow_p = []
+    for i in range(num_blocks):
+        pre = f"flow_blocks.{i}.cnf"
+        layers = []
+        j = 0
+        while f"{pre}.odefunc.diffeq.layers.{j}._layer.weight" in sd:
+            lp = f"{pre}.odefunc.diffeq.layers.{j}"
+            layers.append({
+                "layer": _linear(sd, f"{lp}._layer"),
+                "hyper_bias": _linear(sd, f"{lp}._hyper_bias", bias=False),
+                "hyper_gate": _linear(sd, f"{lp}._hyper_gate"),
+            })
+            j += 1
+        flow_p.append({
+            "sqrt_end_time": np.asarray(sd[f"{pre}.sqrt_end_time"],
+                                        dtype=np.float32),
+            "layers": layers,
+        })
+
+    params = {
+        "interp": interp_p,
+        "feat_convs": feat_p,
+        "merge_convs": merge_p,
+        "flow_blocks": flow_p,
+    }
+    state = {"interp": interp_s, "feat_convs": feat_s}
+    return params, state
+
+
+def load_cnf_checkpoint(path: str):
+    return convert_cnf(load_torch_state_dict(path))

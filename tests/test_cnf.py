@@ -1,0 +1,163 @@
+"""Continuous model: dopri5 integrator, vector-field parity, CNF roundtrip."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from puflow_tpu.models import continuous
+from puflow_tpu.models.ode import odeint_dopri5
+
+CKPT = "/root/reference/pretrain/puflow-x4-cnf-pu1k.pt"
+KEY = jax.random.PRNGKey(0)
+
+
+class TestDopri5:
+    def test_linear_decay_exact(self):
+        y0 = jnp.asarray([[1.0, -2.0, 3.0]])
+        fn = lambda t, y: -y  # noqa: E731
+        for diff in (True, False):
+            yT = odeint_dopri5(fn, y0, 0.0, 1.0, 1e-7, 1e-7,
+                               differentiable=diff)
+            np.testing.assert_allclose(np.asarray(yT),
+                                       np.asarray(y0) * np.exp(-1.0),
+                                       rtol=1e-5)
+
+    def test_backward_integration_roundtrip(self):
+        fn = lambda t, y: jnp.sin(y) + t  # noqa: E731
+        y0 = jnp.asarray([[0.3, -0.7, 1.1]])
+        yT = odeint_dopri5(fn, y0, 0.0, 0.8, 1e-7, 1e-7)
+        y0_rec = odeint_dopri5(fn, yT, 0.8, 0.0, 1e-7, 1e-7)
+        np.testing.assert_allclose(np.asarray(y0_rec), np.asarray(y0),
+                                   atol=1e-5)
+
+    def test_vs_scipy_nonlinear(self):
+        from scipy.integrate import solve_ivp
+
+        def f_np(t, y):
+            return np.tanh(y) * np.cos(3 * t) - 0.5 * y
+
+        fn = lambda t, y: jnp.tanh(y) * jnp.cos(3 * t) - 0.5 * y  # noqa
+        y0 = np.array([0.5, -1.0, 2.0])
+        want = solve_ivp(f_np, (0, 2.0), y0, rtol=1e-9, atol=1e-9).y[:, -1]
+        got = odeint_dopri5(fn, jnp.asarray(y0), 0.0, 2.0, 1e-7, 1e-7)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    def test_pytree_state_and_grad(self):
+        fn = lambda t, s: (-s[0], jnp.sum(s[0]) * jnp.ones_like(s[1]))  # noqa
+
+        def loss(y0):
+            yT, aT = odeint_dopri5(fn, (y0, jnp.zeros((1,))), 0.0, 1.0,
+                                   1e-6, 1e-6, differentiable=True)
+            return jnp.sum(yT)
+
+        y0 = jnp.asarray([2.0, 1.0])
+        g = jax.grad(loss)(y0)
+        # d/dy0 of sum(y0 * e^-1) = e^-1
+        np.testing.assert_allclose(np.asarray(g), np.exp(-1.0), rtol=1e-4)
+
+
+@pytest.mark.skipif(not os.path.exists(CKPT), reason="no CNF checkpoint")
+class TestCnfGolden:
+    @pytest.fixture(scope="class")
+    def ckpt(self):
+        from puflow_tpu.convert.torch_ckpt import load_cnf_checkpoint
+
+        return load_cnf_checkpoint(CKPT)
+
+    def test_vector_field_matches_torch(self, ckpt):
+        """odenet_apply == the reference ConcatSquashLinear stack, run in
+        torch directly from the state_dict."""
+        torch = pytest.importorskip("torch")
+        sd = torch.load(CKPT, map_location="cpu")
+        params, _ = ckpt
+        block = params["flow_blocks"][2]
+        cdim = 128  # block 2 condition width
+
+        rng = np.random.RandomState(0)
+        y = rng.randn(2, 17, 3).astype(np.float32)
+        c = rng.randn(2, 17, cdim).astype(np.float32)
+        t = 0.37
+
+        got = np.asarray(continuous.odenet_apply(
+            [jax.tree.map(jnp.asarray, l) for l in block["layers"]],
+            t, jnp.asarray(c), jnp.asarray(y)))
+
+        # torch oracle
+        ty = torch.from_numpy(y)
+        ctx = torch.cat([torch.full((2, 17, 1), t), torch.from_numpy(c)],
+                        dim=-1)
+        dx = ty
+        pre = "flow_blocks.2.cnf.odefunc.diffeq.layers"
+        for j in range(3):
+            w = sd[f"{pre}.{j}._layer.weight"]
+            b = sd[f"{pre}.{j}._layer.bias"]
+            hb = sd[f"{pre}.{j}._hyper_bias.weight"]
+            hg = sd[f"{pre}.{j}._hyper_gate.weight"]
+            hgb = sd[f"{pre}.{j}._hyper_gate.bias"]
+            gate = torch.sigmoid(ctx @ hg.T + hgb)
+            bias = ctx @ hb.T
+            dx = (dx @ w.T + b) * gate + bias
+            if j < 2:
+                dx = torch.tanh(dx)
+        np.testing.assert_allclose(got, dx.numpy(), atol=2e-5)
+
+    def test_block_roundtrip(self, ckpt):
+        params, _ = ckpt
+        block = jax.tree.map(jnp.asarray, params["flow_blocks"][0])
+        x = jax.random.normal(KEY, (2, 32, 3)) * 0.5
+        c = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32)) * 0.5
+        z, logp = continuous.flow_block_forward(block, x, c,
+                                                differentiable=False)
+        assert z.shape == x.shape and logp.shape == (2,)
+        x_rec = continuous.flow_block_inverse(block, z, c)
+        np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x),
+                                   atol=5e-4)
+
+    def test_full_forward(self, ckpt):
+        params, state = ckpt
+        params = jax.tree.map(jnp.asarray, params)
+        state = jax.tree.map(jnp.asarray, state)
+        pts = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 3))
+        pts = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+        dense, logpx, _ = continuous.forward(params, state, pts, 4)
+        assert dense.shape == (1, 256, 3)
+        assert np.isfinite(np.asarray(dense)).all()
+        assert np.isfinite(float(logpx))
+
+
+def test_cnf_param_count():
+    # reference continuous checkpoint: 802,376 numbers in 390 tensors
+    # (BASELINE.md) = trainable + BN buffers + _num_evals introspection.
+    params, state = continuous.init(KEY)
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+    n_state = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(state))
+    paths = [
+        "/".join(str(getattr(k, "key", k)) for k in p)
+        for p, _ in jax.tree_util.tree_flatten_with_path(state)[0]
+    ]
+    n_bn = sum(1 for p in paths if p.endswith("mean"))
+    # 6 _num_evals buffers are dropped in conversion
+    assert n_params + n_state + n_bn + 6 == 802_376
+
+
+def test_exact_divergence_matches_autodiff():
+    params, _ = continuous.init(KEY)
+    layers = params["flow_blocks"][0]["layers"]
+    y = jax.random.normal(jax.random.PRNGKey(3), (1, 5, 3))
+    c = jax.random.normal(jax.random.PRNGKey(4), (1, 5, 32))
+    fn = continuous.field_with_exact_div(layers, c)
+    _, neg_div = fn(0.2, (y, jnp.zeros((1, 5, 1))))
+
+    # dense jacobian oracle per point
+    for p in range(5):
+        def f_point(yp):
+            full = y.at[0, p].set(yp)
+            return continuous.odenet_apply(layers, 0.2, c, full)[0, p]
+
+        jac = jax.jacfwd(f_point)(y[0, p])
+        np.testing.assert_allclose(float(-neg_div[0, p, 0]),
+                                   float(jnp.trace(jac)), rtol=1e-4,
+                                   atol=1e-5)
