@@ -1,0 +1,164 @@
+"""End-to-end pipeline parity: our jitted patch pipeline vs the reference
+`PatchHelper` (run in torch-cpu with minimal shims for its CUDA ops).
+
+This closes the loop the golden model test leaves open: FPS seeding, k-NN
+patch extraction, per-patch normalisation, merge and outlier removal.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+CKPT = os.path.join(REFERENCE, "pretrain", "puflow-x4-pu1k.pt")
+
+torch = pytest.importorskip("torch")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(CKPT), reason="reference checkpoint not mounted")
+
+
+def _install_shims():
+    """torch-only stand-ins for knn_cuda / pointnet2_ops / PyTorchCD."""
+    if "knn_cuda" in sys.modules:
+        return
+
+    # ---- pytorch3d (model forward) --------------------------------------
+    if "pytorch3d" not in sys.modules:
+        def knn_points(q, p, K, return_nn=False, return_sorted=False):
+            d = torch.cdist(q, p) ** 2
+            dists, idx = torch.topk(d, K, dim=-1, largest=False)
+            return dists, idx, None
+
+        def knn_gather(x, idx):
+            B, N, K = idx.shape
+            flat = idx.reshape(B, N * K)
+            out = torch.stack([x[b][flat[b]] for b in range(B)])
+            return out.reshape(B, N, K, x.shape[-1])
+
+        ops = types.ModuleType("pytorch3d.ops")
+        ops.knn_points = knn_points
+        ops.knn_gather = knn_gather
+        ops.sample_farthest_points = None
+        pkg = types.ModuleType("pytorch3d")
+        pkg.ops = ops
+        sys.modules["pytorch3d"] = pkg
+        sys.modules["pytorch3d.ops"] = ops
+
+    # ---- knn_cuda.KNN ----------------------------------------------------
+    class KNN:
+        def __init__(self, k, transpose_mode=False):
+            self.k = k
+
+        def __call__(self, ref_T, query_T):
+            # ref_T: [B, C, N]; query_T: [B, C, M] -> idx [B, k, M]
+            ref = ref_T.transpose(1, 2)
+            query = query_T.transpose(1, 2)
+            d = torch.cdist(query, ref) ** 2          # [B, M, N]
+            dist, idx = torch.topk(d, self.k, dim=-1, largest=False)
+            return dist.transpose(1, 2), idx.transpose(1, 2)
+
+    knn_mod = types.ModuleType("knn_cuda")
+    knn_mod.KNN = KNN
+    sys.modules["knn_cuda"] = knn_mod
+
+    # ---- pointnet2_ops ---------------------------------------------------
+    def furthest_point_sample(pc, n):
+        # greedy FPS starting at index 0, matching the CUDA kernel
+        B, N, _ = pc.shape
+        out = torch.zeros(B, n, dtype=torch.long)
+        for b in range(B):
+            mind = torch.full((N,), float("inf"))
+            last = 0
+            for i in range(1, n):
+                d = ((pc[b] - pc[b, last]) ** 2).sum(-1)
+                mind = torch.minimum(mind, d)
+                last = int(torch.argmax(mind))
+                out[b, i] = last
+        return out.int()
+
+    def gather_operation(pc_T, idx):
+        B = pc_T.shape[0]
+        return torch.stack([pc_T[b][:, idx[b].long()] for b in range(B)])
+
+    pn2_utils = types.ModuleType("pointnet2_ops.pointnet2_utils")
+    pn2_utils.furthest_point_sample = furthest_point_sample
+    pn2_utils.gather_operation = gather_operation
+    pn2 = types.ModuleType("pointnet2_ops")
+    pn2.pointnet2_utils = pn2_utils
+    sys.modules["pointnet2_ops"] = pn2
+    sys.modules["pointnet2_ops.pointnet2_utils"] = pn2_utils
+
+    # ---- metric.PyTorchCD chamfer ---------------------------------------
+    class chamfer_3DDist:
+        def __call__(self, a, b):
+            d = torch.cdist(a, b) ** 2
+            d1, i1 = d.min(dim=2)
+            d2, i2 = d.min(dim=1)
+            return d1, d2, i1, i2
+
+    cd_mod = types.ModuleType(
+        "metric.PyTorchCD.chamfer3D.dist_chamfer_3D")
+    cd_mod.chamfer_3DDist = chamfer_3DDist
+    for name in ["metric", "metric.PyTorchCD", "metric.PyTorchCD.chamfer3D"]:
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.modules["metric.PyTorchCD.chamfer3D"].dist_chamfer_3D = cd_mod
+    sys.modules["metric.PyTorchCD.chamfer3D.dist_chamfer_3D"] = cd_mod
+
+
+def test_full_pipeline_matches_reference():
+    _install_shims()
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    import modules.utils.probs as probs
+
+    orig = probs.GaussianDistribution.__init__
+
+    def cpu_init(self, pc_channel, mu, vars, temperature=1.0, device="cpu"):
+        orig(self, pc_channel, mu, vars, temperature, device="cpu")
+
+    probs.GaussianDistribution.__init__ = cpu_init
+
+    from modules.discrete.interpflow import PointInterpFlow
+    from modules.utils.patch import PatchHelper
+
+    net = PointInterpFlow(3)
+    net.load_state_dict(torch.load(CKPT, map_location="cpu"))
+    net.set_to_initialized_state()
+    net.eval()
+
+    rng = np.random.RandomState(0)
+    pts = rng.randn(512, 3).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+
+    helper = PatchHelper(256, patch_expand_ratio=4)
+    with torch.no_grad():
+        ref_out = helper.upsample(net, torch.from_numpy(pts)[None],
+                                  npoint=512 * 4 + 24, upratio=4)
+        ref_out = PatchHelper.remove_outliers(
+            ref_out, torch.from_numpy(pts)[None], 24)
+    ref_out = ref_out.numpy()[0]
+
+    # ours
+    import jax
+    import jax.numpy as jnp
+
+    from puflow_tpu.checkpoint import load_checkpoint
+    from puflow_tpu.inference.patch import remove_outliers, upsample_cloud
+
+    params, state, sample_fn = load_checkpoint(CKPT, "discrete")
+    mp = (jax.tree.map(jnp.asarray, params), jax.tree.map(jnp.asarray, state))
+    cloud = jnp.asarray(pts)[None]
+    ours = upsample_cloud(mp, cloud, sample_fn, 512 * 4 + 24, 4, 256, 4.0)
+    ours = np.asarray(remove_outliers(ours, cloud, 24))[0]
+
+    assert ours.shape == ref_out.shape == (2048, 3)
+    # chamfer between the two outputs should be tiny relative to the
+    # cloud scale (~unit sphere)
+    d = ((ours[:, None, :] - ref_out[None, :, :]) ** 2).sum(-1)
+    cd = d.min(1).mean() + d.min(0).mean()
+    assert cd < 5e-4, f"pipeline outputs diverge: CD={cd}"
