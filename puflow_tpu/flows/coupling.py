@@ -52,14 +52,16 @@ def linear_a1d_apply(params: dict, h: jax.Array, c: jax.Array | None = None):
     caller picks by casting `h` to match `c`); the output is cast to float32
     because it feeds exp/logdet flow arithmetic.
     """
+    from puflow_tpu.models.nn import channel_matmul
+
     if c is not None:
         h = jnp.concatenate([h.astype(c.dtype), c], axis=-1)
     dt = h.dtype
-    h = h @ params["w0"].astype(dt)           # no bias (reference :33)
+    h = channel_matmul(h, params["w0"])       # no bias (reference :33)
     h = jax.nn.leaky_relu(h, _LEAKY_SLOPE)
-    h = h @ params["w1"].astype(dt) + params["b1"].astype(dt)
+    h = channel_matmul(h, params["w1"]) + params["b1"].astype(dt)
     h = jax.nn.leaky_relu(h, _LEAKY_SLOPE)
-    out = h @ params["w2"].astype(dt) + params["b2"].astype(dt)
+    out = channel_matmul(h, params["w2"]) + params["b2"].astype(dt)
     return out.astype(jnp.float32)
 
 

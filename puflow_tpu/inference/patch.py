@@ -77,10 +77,9 @@ def remove_outliers(sr: jax.Array, lr: jax.Array, num_outliers: int):
     return gather_points(sr, kept_idx)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
-def upsample_cloud(model_params, pc: jax.Array, sample_fn, npoint: int,
-                   upratio: int = 4, patch_size: int = 256,
-                   expand_ratio: float = 4.0) -> jax.Array:
+def upsample_cloud_impl(model_params, pc: jax.Array, sample_fn, npoint: int,
+                        upratio: int = 4, patch_size: int = 256,
+                        expand_ratio: float = 4.0) -> jax.Array:
     """Upsample whole clouds patch-wise.
 
     Args:
@@ -110,3 +109,27 @@ def upsample_cloud(model_params, pc: jax.Array, sample_fn, npoint: int,
 
     merged = merge_patches(pred, npoint)                   # [B, npoint, 3]
     return merged * g_furthest + g_centroid
+
+
+upsample_cloud = partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))(
+    upsample_cloud_impl)
+
+
+def upsample_cloud_sharded(mesh, model_params, pc, sample_fn, npoint: int,
+                           upratio: int = 4, patch_size: int = 256,
+                           expand_ratio: float = 4.0):
+    """Multi-chip whole-cloud upsampling: the CLOUD axis shards over the
+    mesh (each chip runs its clouds' full FPS/extract/model/merge locally —
+    embarrassingly parallel, no collectives; params replicated).
+
+    The reference has no distributed inference (SURVEY.md §2.4); this is the
+    patch-axis scaling capability called for in SURVEY.md §5.7.
+    """
+    from puflow_tpu.parallel.mesh import batch_sharding, replicated
+
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    fn = jax.jit(upsample_cloud_impl, static_argnums=(2, 3, 4, 5, 6),
+                 in_shardings=(rep, bsh), out_shardings=bsh)
+    return fn(jax.device_put(model_params, rep), jax.device_put(pc, bsh),
+              sample_fn, npoint, upratio, patch_size, expand_ratio)

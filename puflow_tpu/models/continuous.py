@@ -177,6 +177,21 @@ def flow_block_inverse(block, z, c, differentiable: bool = False):
     return x
 
 
+def count_nfe(params, x, cs):
+    """Solver-cost introspection: total NFE across the forward blocks
+    (reference `count_nfe`, `modules/continuous/flow.py:6-18`)."""
+    total = jnp.int32(0)
+    for block, c in zip(params["flow_blocks"], cs):
+        T = block["sqrt_end_time"] * block["sqrt_end_time"]
+        logp0 = jnp.zeros(x.shape[:-1] + (1,), dtype=x.dtype)
+        fn = field_with_exact_div(block["layers"], c)
+        (x, _), stats = odeint_dopri5(fn, (x, logp0), 0.0, T, RTOL, ATOL,
+                                      differentiable=False,
+                                      return_stats=True)
+        total = total + stats["nfe"]
+    return total
+
+
 # --------------------------------------------------------------------------
 # Full model (encoder topology shared with the discrete family)
 # --------------------------------------------------------------------------

@@ -84,16 +84,18 @@ def _edge_linear(w: jax.Array, b, x: jax.Array, nbr_gather, h_cat,
     Args: w [3C + P, G]; x [B, N, C]; nbr_gather: fn gathering [B, N, G'] ->
     [B, N, K, G']; h_cat [B, N, K, P] or None.
     """
+    from puflow_tpu.models.nn import channel_matmul
+
     C = x.shape[-1]
     dt = dtype or x.dtype
     w = w.astype(dt)
     w_x, w_n, w_d = w[:C], w[C:2 * C], w[2 * C:3 * C]
     xc = x.astype(dt)
-    p_self = xc @ (w_x - w_d)                            # [B, N, G]
-    p_nbr = nbr_gather(xc @ (w_n + w_d))                 # [B, N, K, G]
+    p_self = channel_matmul(xc, w_x - w_d)               # [B, N, G]
+    p_nbr = nbr_gather(channel_matmul(xc, w_n + w_d))    # [B, N, K, G]
     y = p_self[:, :, None, :] + p_nbr
     if h_cat is not None:
-        y = y + h_cat @ w[3 * C:]
+        y = y + channel_matmul(h_cat, w[3 * C:])
     if b is not None:
         y = y + b.astype(dt)
     return y

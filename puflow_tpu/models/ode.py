@@ -92,7 +92,8 @@ def _dp_step(func, t, y, h, k1):
 
 
 def odeint_dopri5(func, y0, t0, t1, rtol: float = 1e-5, atol: float = 1e-5,
-                  max_steps: int = 128, differentiable: bool = True):
+                  max_steps: int = 128, differentiable: bool = True,
+                  return_stats: bool = False):
     """Integrate dy/dt = func(t, y) from t0 to t1.
 
     Args:
@@ -101,6 +102,10 @@ def odeint_dopri5(func, y0, t0, t1, rtol: float = 1e-5, atol: float = 1e-5,
       t0, t1: scalars (traced OK); t1 < t0 integrates backward.
       differentiable: masked fixed-trip scan (reverse-AD-safe) vs early-exit
         while_loop.
+      return_stats: also return ``{"steps": n, "nfe": 1 + 6n}`` — the
+        solver-introspection counters the reference exposes via
+        `count_nfe` / `_num_evals` (`modules/continuous/flow.py:6-18`,
+        `odefunc.py:111,125`).
 
     Returns:
       y(t1) pytree (and implicitly uses <= max_steps accepted+rejected
@@ -149,12 +154,14 @@ def odeint_dopri5(func, y0, t0, t1, rtol: float = 1e-5, atol: float = 1e-5,
                 lambda a, b: jnp.where(done, a, b), carry, new)
             return out, None
 
-        (tf, yf, _, _, _, _), _ = jax.lax.scan(body, init, None,
+        (tf, yf, _, _, _, n), _ = jax.lax.scan(body, init, None,
                                                length=max_steps)
-        return yf
+    else:
+        def cond(carry):
+            return jnp.logical_not(carry[4]) & (carry[5] < max_steps)
 
-    def cond(carry):
-        return jnp.logical_not(carry[4]) & (carry[5] < max_steps)
+        _, yf, _, _, _, n = jax.lax.while_loop(cond, step_carry, init)
 
-    _, yf, _, _, _, _ = jax.lax.while_loop(cond, step_carry, init)
+    if return_stats:
+        return yf, {"steps": n, "nfe": 1 + 6 * n}
     return yf

@@ -41,7 +41,8 @@ def pairwise_sqdist(x: jax.Array, y: jax.Array) -> jax.Array:
     x2 = jnp.sum(x * x, axis=-1, keepdims=True)            # [..., N, 1]
     y2 = jnp.sum(y * y, axis=-1, keepdims=True)            # [..., M, 1]
     cross = jnp.einsum(
-        "...nc,...mc->...nm", x, y, preferred_element_type=jnp.float32
+        "...nc,...mc->...nm", x, y, preferred_element_type=jnp.float32,
+        precision="high",
     )
     d = x2 + jnp.swapaxes(y2, -1, -2) - 2.0 * cross
     return jnp.maximum(d, 0.0)

@@ -63,14 +63,72 @@ def _fps_kernel(xyz_ref, out_ref, mind_ref, *, n_valid: int, m: int):
     jax.lax.fori_loop(1, m, body, (x0, y0, z0))
 
 
+def _fps_kernel_batched(xyz_ref, out_ref, mind_ref, *, n_valid: int, m: int):
+    """Whole batch per iteration: [B, N] VPU rows amortise the loop
+    overhead B-fold vs the per-cloud grid kernel."""
+    B = xyz_ref.shape[0]
+    np_ = xyz_ref.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, np_), 1)
+    valid = lane < n_valid
+    mind_ref[...] = jnp.where(valid, jnp.float32(jnp.inf),
+                              -jnp.float32(jnp.inf))
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, (B, out_ref.shape[-1]), 1)
+    out_ref[...] = jnp.zeros_like(out_lane)
+
+    xs = xyz_ref[:, 0, :]
+    ys = xyz_ref[:, 1, :]
+    zs = xyz_ref[:, 2, :]
+
+    def pick(rows, idx):
+        sel = lane == idx[:, None]
+        return jnp.sum(jnp.where(sel, rows, 0.0), axis=1)  # [B]
+
+    def body(i, carry):
+        x, y, z = carry
+        dx = xs - x[:, None]
+        dy = ys - y[:, None]
+        dz = zs - z[:, None]
+        d = dx * dx + dy * dy + dz * dz
+        mind = jnp.minimum(mind_ref[...], d)
+        mind_ref[...] = mind
+        nxt = jnp.argmax(mind, axis=1).astype(jnp.int32)   # [B]
+        out_ref[...] = jnp.where(out_lane == i, nxt[:, None], out_ref[...])
+        return pick(xs, nxt), pick(ys, nxt), pick(zs, nxt)
+
+    zero = jnp.zeros((B,), jnp.int32)
+    jax.lax.fori_loop(1, m, body,
+                      (pick(xs, zero), pick(ys, zero), pick(zs, zero)))
+
+
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def farthest_point_sample_pallas(xyz: jax.Array, n_samples: int) -> jax.Array:
-    """Pallas FPS: xyz [B, N, 3] -> indices [B, n_samples] int32."""
+    """Pallas FPS: xyz [B, N, 3] -> indices [B, n_samples] int32.
+
+    Uses the batched kernel (all clouds advance together each iteration)
+    when the whole batch fits VMEM; falls back to a per-cloud grid kernel
+    for very large clouds.
+    """
     B, N, _ = xyz.shape
     np_ = _round_up(N, 128)
     mp_ = _round_up(n_samples, 128)
     xyz_t = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)   # [B, 3, N]
     xyz_t = jnp.pad(xyz_t, ((0, 0), (0, 0), (0, np_ - N)))
+
+    batched_bytes = B * np_ * 4 * (3 + 1) + B * mp_ * 4
+    if batched_bytes <= _VMEM_BUDGET:
+        kernel = functools.partial(_fps_kernel_batched, n_valid=N,
+                                   m=n_samples)
+        out = pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, mp_), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((B, np_), jnp.float32)],
+        )(xyz_t)
+        return out[:, :n_samples]
 
     kernel = functools.partial(_fps_kernel, n_valid=N, m=n_samples)
     # output carries a dummy 8-sublane axis to satisfy TPU tiling; row 0 used

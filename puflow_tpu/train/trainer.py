@@ -204,3 +204,51 @@ class Trainer:
     def numpy_params(self):
         return (jax.tree.map(np.asarray, self.params),
                 jax.tree.map(np.asarray, self.bn_state))
+
+    # -- full train-state checkpoint / resume ------------------------------
+    # The reference deliberately ships only raw weight state_dicts and no
+    # optimizer state (`train_pu1k.py:172-176`, SURVEY.md §5.4); here resume
+    # restores optimizer moments and the plateau controller too.
+    def save_train_state(self, path: str):
+        import json
+
+        from puflow_tpu.checkpoint import save_checkpoint
+
+        opt_leaves = {
+            f"opt/{i}": np.asarray(x)
+            for i, x in enumerate(jax.tree.leaves(self.opt_state))
+        }
+        save_checkpoint(path, jax.tree.map(np.asarray, self.params),
+                        jax.tree.map(np.asarray, self.bn_state))
+        np.savez(path + ".opt.npz", **opt_leaves)
+        meta = {
+            "lr": self._lr, "best": self._best,
+            "bad_epochs": self._bad_epochs,
+            "epochs_done": len(self.history),
+            "history": self.history,
+        }
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f)
+
+    def restore_train_state(self, path: str):
+        import json
+
+        from puflow_tpu.checkpoint import load_npz_checkpoint
+        from puflow_tpu.parallel.mesh import replicated
+
+        rep = replicated(self.mesh)
+        params, bn_state = load_npz_checkpoint(path)
+        self.params = jax.device_put(params, rep)
+        self.bn_state = jax.device_put(bn_state, rep)
+        with np.load(path + ".opt.npz") as data:
+            leaves = [data[f"opt/{i}"] for i in range(len(data.files))]
+        treedef = jax.tree.structure(self.opt_state)
+        self.opt_state = jax.device_put(
+            jax.tree.unflatten(treedef, leaves), rep)
+        with open(path + ".meta.json") as f:
+            meta = json.load(f)
+        self._lr = meta["lr"]
+        self._best = meta["best"]
+        self._bad_epochs = meta["bad_epochs"]
+        self.history = meta["history"]
+        return meta["epochs_done"]

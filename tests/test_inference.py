@@ -112,3 +112,26 @@ def test_checkpoint_npz_roundtrip(tmp_path):
     np.testing.assert_array_equal(p2["blocks"][1]["w"], np.zeros((2, 2)))
     np.testing.assert_array_equal(s2["bn"]["mean"], np.arange(4.0))
     assert isinstance(p2["blocks"], list)
+
+
+def test_upsample_cloud_sharded_matches_single():
+    """Cloud-axis sharding over 8 virtual devices == single device."""
+    from puflow_tpu.inference.patch import upsample_cloud_sharded
+    from puflow_tpu.models import discrete
+    from puflow_tpu.parallel.mesh import make_mesh
+
+    params, state = discrete.init(jax.random.PRNGKey(0))
+    mp = (params, state)
+
+    def sample_fn(mp_, patches, r):
+        p, s = mp_
+        return discrete.sample(p, s, patches, r)
+
+    pc = jnp.concatenate(
+        [_sphere_cloud(jax.random.PRNGKey(i), 128) for i in range(8)])
+    single = upsample_cloud(mp, pc, sample_fn, 512, 4, 64, 4.0)
+    mesh = make_mesh(jax.devices()[:8])
+    sharded = upsample_cloud_sharded(mesh, mp, pc, sample_fn, 512, 4, 64,
+                                     4.0)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               atol=2e-4)
