@@ -79,7 +79,10 @@ def run_training(args, model_family: str, make_data_loaders,
                         jax.tree.map(np.asarray, s))
 
     trainer.fit(train_iter, val_iter, checkpoint_fn=save)
-    final = args.checkpoint.replace(".npz", f"-epoch{args.max_epochs}.npz")
-    save(args.max_epochs, trainer.params, trainer.bn_state, path=final)
-    print(f"Model saved to {final}")
+    # final save is skipped on interruption (reference `train_pu1k.py:172`)
+    if not getattr(trainer, "interrupted", False):
+        final = args.checkpoint.replace(".npz",
+                                        f"-epoch{args.max_epochs}.npz")
+        save(args.max_epochs, trainer.params, trainer.bn_state, path=final)
+        print(f"Model saved to {final}")
     return trainer

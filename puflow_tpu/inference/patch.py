@@ -77,9 +77,18 @@ def remove_outliers(sr: jax.Array, lr: jax.Array, num_outliers: int):
     return gather_points(sr, kept_idx)
 
 
+def jitter_cloud(key, pc: jax.Array, sigma: float = 0.010,
+                 clip: float = 0.020) -> jax.Array:
+    """Clipped gaussian perturbation (reference
+    `PatchHelper.jitter_perturbation_point_cloud`, `patch.py:181-195`)."""
+    noise = jnp.clip(sigma * jax.random.normal(key, pc.shape), -clip, clip)
+    return pc + noise
+
+
 def upsample_cloud_impl(model_params, pc: jax.Array, sample_fn, npoint: int,
                         upratio: int = 4, patch_size: int = 256,
-                        expand_ratio: float = 4.0) -> jax.Array:
+                        expand_ratio: float = 4.0,
+                        jitter_key=None) -> jax.Array:
     """Upsample whole clouds patch-wise.
 
     Args:
@@ -97,6 +106,8 @@ def upsample_cloud_impl(model_params, pc: jax.Array, sample_fn, npoint: int,
     n_patch = int(N / patch_size * expand_ratio)
 
     pc_n, g_centroid, g_furthest = normalize_cloud(pc)
+    if jitter_key is not None:
+        pc_n = jitter_cloud(jitter_key, pc_n)
 
     patches = extract_patches(pc_n, n_patch, patch_size)   # [B, P, k, 3]
     flat = patches.reshape(B * n_patch, patch_size, C)

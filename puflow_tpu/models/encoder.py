@@ -20,7 +20,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from puflow_tpu.models.nn import bn_apply, bn_init, linear_apply, linear_init
+from puflow_tpu.models.nn import (bn_apply, bn_init, channel_matmul,
+                                  linear_apply, linear_init)
 from puflow_tpu.ops.knn import (gather_points, knn_indices,
                                 make_neighbor_gather)
 
@@ -68,62 +69,63 @@ def derive_edge_feat(x: jax.Array, knn_idx: jax.Array) -> jax.Array:
     return jnp.concatenate([x_tiled, knn_feat, knn_feat - x_tiled], axis=-1)
 
 
-def _edge_linear(w: jax.Array, b, x: jax.Array, nbr_gather, h_cat,
-                 dtype) -> jax.Array:
-    """Apply a conv whose input is [x_i, x_j, x_j - x_i, h...] WITHOUT
-    materialising the 3C edge features.
-
-    The edge block of the weight factorises exactly:
-        [x_i, x_j, x_j - x_i] @ [W_x; W_n; W_d]
-      = x_i @ (W_x - W_d) + x_j @ (W_n + W_d)
-    so the 3C-channel per-slot matmul becomes two per-POINT matmuls (K times
-    fewer FLOPs) plus a gather of the small G-dim result — this removes the
-    HBM-bandwidth wall of the naive EdgeConv (the [B, N, K, 3C] tensor never
-    exists). Bitwise-equivalent math up to fp reassociation.
-
-    Args: w [3C + P, G]; x [B, N, C]; nbr_gather: fn gathering [B, N, G'] ->
-    [B, N, K, G']; h_cat [B, N, K, P] or None.
-    """
-    from puflow_tpu.models.nn import channel_matmul
-
-    C = x.shape[-1]
-    dt = dtype or x.dtype
-    w = w.astype(dt)
-    w_x, w_n, w_d = w[:C], w[C:2 * C], w[2 * C:3 * C]
-    xc = x.astype(dt)
-    p_self = channel_matmul(xc, w_x - w_d)               # [B, N, G]
-    p_nbr = nbr_gather(channel_matmul(xc, w_n + w_d))    # [B, N, K, G]
-    y = p_self[:, :, None, :] + p_nbr
-    if h_cat is not None:
-        y = y + channel_matmul(h_cat, w[3 * C:])
-    if b is not None:
-        y = y + b.astype(dt)
-    return y
-
-
 def feature_extract_apply(params, state, x, knn_idx, train: bool,
                           pooling: bool = True, dtype=None, gather_fn=None):
     """x: [B, N, C] -> pooled [B, N, odim] or per-slot [B, N, K, odim].
 
     `dtype` selects the compute precision of the conv stack (bf16 = fast MXU
     path for inference); statistics and pooling semantics are unaffected.
-    Uses the factored edge-conv (see `_edge_linear`) for every layer of the
-    densely-connected stack; `gather_fn` (from `make_neighbor_gather`) lets
-    callers share one one-hot gather matrix across layers/blocks.
+
+    Every layer's edge-feature contribution factorises onto the block input
+    (see `_edge_linear`), and all layers' neighbour projections depend ONLY
+    on x — so the whole stack performs a SINGLE fused neighbour gather per
+    block: P = x @ [W_nbr_0 | ... | W_nbr_L] is gathered once and sliced
+    per layer. One gather per block (instead of one per conv) cuts the
+    dominant HBM term — re-reading the one-hot gather matrix — by 5x.
     """
     nbr_gather = gather_fn or make_neighbor_gather(knn_idx, x.shape[1],
                                                    dtype)
+    C = x.shape[-1]
+    dt = dtype or x.dtype
+    xc = x.astype(dt)
+
+    layers = list(params["convs"]) + [{"lin": params["conv_out"]}]
+    w_selfs, w_nbrs, widths = [], [], []
+    for layer in layers:
+        w = layer["lin"]["w"].astype(dt)
+        w_selfs.append(w[:C] - w[2 * C:3 * C])
+        w_nbrs.append(w[C:2 * C] + w[2 * C:3 * C])
+        widths.append(w.shape[1])
+    p_self = channel_matmul(xc, jnp.concatenate(w_selfs, axis=1))
+    p_nbr_all = nbr_gather(channel_matmul(xc, jnp.concatenate(w_nbrs,
+                                                              axis=1)))
+    offsets = [0]
+    for g in widths:
+        offsets.append(offsets[-1] + g)
+
+    def edge_term(i):
+        lo, hi = offsets[i], offsets[i + 1]
+        return (p_self[:, :, None, lo:hi].astype(dt)
+                + p_nbr_all[..., lo:hi].astype(dt))
+
     h_cat = None
     new_bn = []
-    for conv_p, bn_s in zip(params["convs"], state["convs"]):
-        h = _edge_linear(conv_p["lin"]["w"], conv_p["lin"].get("b"), x,
-                         nbr_gather, h_cat, dtype)
+    for i, (conv_p, bn_s) in enumerate(zip(params["convs"],
+                                           state["convs"])):
+        h = edge_term(i)
+        if h_cat is not None:
+            h = h + channel_matmul(h_cat, conv_p["lin"]["w"][3 * C:])
+        if "b" in conv_p["lin"]:
+            h = h + conv_p["lin"]["b"].astype(dt)
         h, bn_s2 = bn_apply(conv_p["bn"], bn_s, h, train)
         h = jax.nn.leaky_relu(h, _FEU_SLOPE)
         new_bn.append(bn_s2)
         h_cat = h if h_cat is None else jnp.concatenate([h_cat, h], axis=-1)
-    f = _edge_linear(params["conv_out"]["w"], params["conv_out"].get("b"), x,
-                     nbr_gather, h_cat, dtype)            # [B, N, K, odim]
+
+    f = edge_term(len(layers) - 1)
+    f = f + channel_matmul(h_cat, params["conv_out"]["w"][3 * C:].astype(dt))
+    if "b" in params["conv_out"]:
+        f = f + params["conv_out"]["b"].astype(dt)        # [B, N, K, odim]
     if pooling:
         f = jnp.max(f, axis=2)                            # [B, N, odim]
     return f, {"convs": new_bn}
@@ -160,8 +162,15 @@ def distance_feat(xyz: jax.Array, knn_idx: jax.Array) -> jax.Array:
 
 
 def distance_encoder_apply(params, state, xyz, knn_idx, train: bool,
-                           dtype=None):
-    f = distance_feat(xyz, knn_idx)                        # [B, N, k, 10]
+                           dtype=None, gather_fn=None):
+    if gather_fn is not None:
+        neighbours = gather_fn(xyz).astype(xyz.dtype)      # [B, N, k, 3]
+        pt = jnp.broadcast_to(xyz[:, :, None, :], neighbours.shape)
+        vec = pt - neighbours
+        dist = jnp.sqrt(jnp.sum(vec * vec, axis=-1, keepdims=True))
+        f = jnp.concatenate([pt, neighbours, vec, dist], axis=-1)
+    else:
+        f = distance_feat(xyz, knn_idx)                    # [B, N, k, 10]
     if dtype is not None:
         f = f.astype(dtype)
     h = linear_apply(params["lin0"], f)
@@ -194,7 +203,7 @@ def knn_context_apply(params, state, xyz, knn_idx, train: bool, dtype=None,
         gather_fn = make_neighbor_gather(knn_idx, xyz.shape[1], dtype)
     dist, de_s = distance_encoder_apply(
         params["distance_encoder"], state["distance_encoder"], xyz, knn_idx,
-        train, dtype=dtype)
+        train, dtype=dtype, gather_fn=gather_fn)
     feat, fe_s = feature_extract_apply(
         params["feat_conv"], state["feat_conv"], xyz, knn_idx, train,
         pooling=False, dtype=dtype, gather_fn=gather_fn)
@@ -261,7 +270,7 @@ def interpolation_apply(params, state, z, xyz, upratio: int, train: bool,
         params["weight_unit"], state["weight_unit"], ctx, train)
     logits = logits[..., :upratio].astype(jnp.float32)    # [B, N, k, r]
     weights = jax.nn.softmax(logits, axis=2)              # softmax over k
-    nei = gather_points(z, knn_idx)                       # [B, N, k, C]
+    nei = gather_fn(z).astype(jnp.float32)                # [B, N, k, C]
     interp = jnp.einsum("bnkc,bnkr->bncr", nei, weights)
     return interp, {"knn_context": kc_s, "weight_unit": wu_s}
 

@@ -107,12 +107,15 @@ def make_neighbor_gather(knn_idx: jax.Array, m: int, dtype=None):
     """Best neighbour-gather strategy for the current backend.
 
     Returns ``gather(values [B, m, C]) -> [B, N, K, C]`` over a FIXED k-NN
-    graph. On TPU this closes over a one-hot matrix (built once, every call
-    is an MXU matmul); on CPU it stays a direct gather.
+    graph. On TPU this closes over a bf16 one-hot matrix (built once, every
+    call is one or two exact single-pass MXU matmuls); on CPU it stays a
+    direct gather. Callers should BATCH channels into as few calls as
+    possible — each call re-reads the [B, N*K, m] one-hot from HBM, which
+    is the dominant traffic term.
     """
     if jax.default_backend() == "cpu":
         return lambda v: gather_points(v, knn_idx)
-    onehot = neighbor_onehot(knn_idx, m, dtype=dtype or jnp.float32)
+    onehot = neighbor_onehot(knn_idx, m, dtype=jnp.bfloat16)
     k = knn_idx.shape[-1]
     return lambda v: gather_by_onehot(v, onehot, k)
 
@@ -121,11 +124,25 @@ def gather_by_onehot(values: jax.Array, onehot: jax.Array,
                      k: int) -> jax.Array:
     """``[B, M, C] x [B, N*K, M] -> [B, N, K, C]`` on the MXU.
 
-    Exact for bf16 values; for f32 values the 3-pass ('high') matmul keeps
-    ~f32 precision while staying 2x faster than the 6-pass default.
+    The one-hot is bf16 (exact zeros/ones, half the HBM traffic of f32).
+    bf16 values gather exactly in one single-pass matmul. f32 values use an
+    exact two-pass split: v = hi + lo with hi = bf16(v),
+    lo = bf16(v - hi) — each product has a single non-zero term, so the
+    f32-accumulated sum reconstructs v to full bf16-residual precision
+    (~2^-16 relative), 1.5x cheaper than the 3-pass 'high' decomposition.
     """
-    prec = ("default" if values.dtype == jnp.bfloat16 else "high")
-    out = jnp.einsum("bpm,bmc->bpc", onehot, values.astype(onehot.dtype),
-                     precision=prec)
-    B, P, C = out.shape
+    B, P, _ = onehot.shape
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+    if values.dtype == jnp.bfloat16:
+        out = dot(onehot, values).astype(jnp.bfloat16)
+    else:
+        hi = values.astype(jnp.bfloat16)
+        lo = (values - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = dot(onehot, hi) + dot(onehot, lo)
+    C = values.shape[-1]
     return out.reshape(B, P // k, k, C)

@@ -185,20 +185,29 @@ class Trainer:
 
     def fit(self, train_iter_fn, val_iter_fn, max_epochs=None,
             log_fn=print, checkpoint_fn=None):
+        """Epoch loop. A KeyboardInterrupt stops cleanly and sets
+        `self.interrupted` (reference semantics: the interrupt flag
+        suppresses the final checkpoint save — `utils/callback.py:21-23`,
+        `train_pu1k.py:172`)."""
         max_epochs = max_epochs or self.cfg.max_epochs
-        for epoch in range(max_epochs):
-            t0 = time.time()
-            tr = self.train_epoch(train_iter_fn())
-            va = self.validate(val_iter_fn()) if val_iter_fn else {}
-            self._plateau_update(va.get("CD", tr["loss"]))
-            row = {"epoch": epoch, **tr, **va,
-                   "time_s": round(time.time() - t0, 2)}
-            self.history.append(row)
-            log_fn(f"[epoch {epoch:3d}] " + "  ".join(
-                f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"
-                for k, v in row.items() if k != "epoch"))
-            if checkpoint_fn:
-                checkpoint_fn(epoch, self.params, self.bn_state)
+        self.interrupted = False
+        try:
+            for epoch in range(max_epochs):
+                t0 = time.time()
+                tr = self.train_epoch(train_iter_fn())
+                va = self.validate(val_iter_fn()) if val_iter_fn else {}
+                self._plateau_update(va.get("CD", tr["loss"]))
+                row = {"epoch": epoch, **tr, **va,
+                       "time_s": round(time.time() - t0, 2)}
+                self.history.append(row)
+                log_fn(f"[epoch {epoch:3d}] " + "  ".join(
+                    f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"
+                    for k, v in row.items() if k != "epoch"))
+                if checkpoint_fn:
+                    checkpoint_fn(epoch, self.params, self.bn_state)
+        except KeyboardInterrupt:
+            self.interrupted = True
+            log_fn(f"interrupted at epoch {len(self.history)}")
         return self.history
 
     def numpy_params(self):
