@@ -110,10 +110,17 @@ def _auction_one(x1: jax.Array, x2: jax.Array, eps: float, iters: int):
     return dist, assignment
 
 
+_PALLAS_VMEM_LIMIT = 6 * 1024 * 1024  # base-matrix budget for the kernel
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def emd_auction(xyz1: jax.Array, xyz2: jax.Array, eps: float = 0.005,
                 iters: int = 50):
     """Approximate EMD matching between two same-size clouds.
+
+    On TPU (and feasible sizes) the whole auction runs as one VMEM-resident
+    Pallas kernel (`ops/pallas/emd_pallas.py`); otherwise the dense XLA
+    formulation below. Both produce identical assignments.
 
     Args:
       xyz1: ``[B, n, 3]`` predicted cloud (gradient flows here).
@@ -125,6 +132,12 @@ def emd_auction(xyz1: jax.Array, xyz2: jax.Array, eps: float = 0.005,
       ``(dist [B, n], assignment [B, n])`` — squared matched distances and
       the (not necessarily bijective) assignment into xyz2.
     """
+    n, m = xyz1.shape[1], xyz2.shape[1]
+    if (jax.default_backend() not in ("cpu",)
+            and n * m * 4 <= _PALLAS_VMEM_LIMIT):
+        from puflow_tpu.ops.pallas.emd_pallas import emd_auction_pallas
+
+        return emd_auction_pallas(xyz1, xyz2, eps, iters)
     return jax.vmap(lambda a, b: _auction_one(a, b, eps, iters))(xyz1, xyz2)
 
 

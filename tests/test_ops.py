@@ -138,3 +138,17 @@ class TestEmd:
         matched = np.asarray(y)[0][np.asarray(assignment)[0]]
         want = 2.0 * (np.asarray(x)[0] - matched)
         np.testing.assert_allclose(np.asarray(grad)[0], want, atol=1e-5)
+
+
+class TestEmdPallas:
+    def test_matches_xla_formulation(self):
+        """Pallas kernel (interpret mode) == dense XLA auction, exactly."""
+        from puflow_tpu.ops.pallas.emd_pallas import emd_auction_pallas
+
+        x1 = jax.random.uniform(jax.random.PRNGKey(7), (2, 64, 3))
+        x2 = jax.random.uniform(jax.random.PRNGKey(8), (2, 64, 3))
+        d_ref, a_ref = emd_auction(x1, x2, 0.005, 50)
+        d_p, a_p = emd_auction_pallas(x1, x2, 0.005, 50, interpret=True)
+        np.testing.assert_array_equal(np.asarray(a_ref), np.asarray(a_p))
+        np.testing.assert_allclose(np.asarray(d_ref), np.asarray(d_p),
+                                   atol=1e-5)
