@@ -53,6 +53,10 @@ def knn_indices(
 ):
     """Indices (into ``points``) of the k nearest neighbours of each query.
 
+    Self-queries on TPU dispatch to the fused Pallas kernel (distance +
+    top-K entirely in VMEM; `lax.top_k`'s sort-based lowering is the slow
+    half of the XLA path at patch shapes).
+
     Args:
       query: ``[B, N, C]``.
       points: ``[B, M, C]``.
@@ -63,6 +67,12 @@ def knn_indices(
       ``idx [B, N, k]`` int32 (ascending distance order), and optionally
       ``sqdist [B, N, k]``.
     """
+    if (query is points and not return_dist and k <= 64
+            and query.shape[1] <= 1024 and query.shape[-1] == 3
+            and jax.default_backend() not in ("cpu",)):
+        from puflow_tpu.ops.pallas.knn_pallas import knn_self_pallas
+
+        return knn_self_pallas(query, k)
     d = pairwise_sqdist(query, points)                      # [B, N, M]
     neg_d, idx = jax.lax.top_k(-d, k)                       # ascending distance
     if return_dist:

@@ -2,15 +2,18 @@
 
 The XLA formulation (`puflow_tpu.ops.emd`) re-reads the [n, m] distance
 matrix from HBM on every one of the 50 auction iterations (~13 GB of
-traffic at training shapes). Here the pre-computed value matrix
-``base = 3 - |x1 - x2|`` lives in VMEM for the whole auction; each
-iteration is pure VPU work (row top-2, per-column winner, masked vector
-updates) and the only HBM traffic is one 4 MB read per cloud pair.
+traffic at training shapes; measured 599 ms for [32, 1024]). Here only the
+raw [n, 3] coordinates enter the kernel; the value matrix
+``3 - |x1 - x2| - price`` is REcomputed each iteration (a 2 MFLOP MXU
+matmul — far cheaper than holding a second 4 MB buffer in VMEM), and each
+iteration is otherwise pure VPU work: row top-2, per-column winner,
+masked vector updates.
 
 Semantics identical to the dense reference reformulation (see
 `ops/emd.py`, mirroring `metric/emd/emd_cuda.cu`): one winner per target
-(ties -> lowest bidder row), displaced owners unassigned, final iteration
-force-assigns every remaining bidder, output distances are squared.
+(ties -> lowest bidder row), displaced owners unassigned, the final
+iteration force-assigns every remaining bidder WITHOUT displacing
+(cuda Assign's `!last` guard), output distances are squared.
 """
 
 from __future__ import annotations
@@ -25,22 +28,33 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_BIG = -1e9
 
 
-def _auction_kernel(base_ref, assign_out_ref, dist_out_ref, price_ref,
-                    inv_ref, assign_ref, *, eps: float, iters: int,
-                    n: int, m: int):
+def _auction_kernel(xyz1_ref, xyz2_ref, assign_out_ref, dist_out_ref,
+                    price_ref, inv_ref, assign_ref, *, eps: float,
+                    iters: int, n: int, m: int):
     colio = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
     rowio = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
     price_ref[...] = jnp.zeros((1, m), jnp.float32)
     inv_ref[...] = jnp.full((1, m), -1, jnp.int32)
     assign_ref[...] = jnp.full((n, 1), -1, jnp.int32)
-    base = base_ref[0]
+
+    x1 = xyz1_ref[0]                                       # [n, 3]
+    x2 = xyz2_ref[0]                                       # [m, 3]
+    sq1 = jnp.sum(x1 * x1, axis=1, keepdims=True)          # [n, 1]
+    sq2 = jnp.sum(x2 * x2, axis=1, keepdims=True)          # [m, 1]
+
+    def base_matrix():
+        cross = jax.lax.dot_general(
+            x1, x2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [n, m]
+        d2 = jnp.maximum(sq1 + jnp.transpose(sq2) - 2.0 * cross, 0.0)
+        return 3.0 - jnp.sqrt(d2)
 
     def body(it, _):
-        value = base - price_ref[...]                       # [n, m]
+        value = base_matrix() - price_ref[...]              # [n, m]
         m1 = jnp.max(value, axis=1, keepdims=True)          # [n, 1]
         idx1 = jnp.argmax(value, axis=1).astype(jnp.int32)[:, None]
-        masked = jnp.where(colio == idx1, _NEG_BIG, value)
-        m2 = jnp.max(masked, axis=1, keepdims=True)
+        m2 = jnp.max(jnp.where(colio == idx1, _NEG_BIG, value), axis=1,
+                     keepdims=True)
         unass = assign_ref[...] < 0                         # [n, 1]
         bid = m1 - m2 + eps
 
@@ -67,9 +81,14 @@ def _auction_kernel(base_ref, assign_out_ref, dist_out_ref, price_ref,
 
     jax.lax.fori_loop(0, iters, body, 0)
 
-    sel = colio == assign_ref[...]
-    base_sel = jnp.sum(jnp.where(sel, base, 0.0), axis=1, keepdims=True)
-    dist_out_ref[0] = (3.0 - base_sel) ** 2
+    # squared distance to the matched point: gather x2 rows via a tiny
+    # one-hot matmul (lane-dynamic gathers are not expressible in Mosaic)
+    sel = (colio == assign_ref[...]).astype(jnp.float32)    # [n, m]
+    x2_sel = jax.lax.dot_general(
+        sel, x2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [n, 3]
+    diff = x1 - x2_sel
+    dist_out_ref[0] = jnp.sum(diff * diff, axis=1, keepdims=True)
     assign_out_ref[0] = assign_ref[...]
 
 
@@ -80,17 +99,18 @@ def emd_auction_pallas(xyz1: jax.Array, xyz2: jax.Array,
     """Auction matching: [B, n, 3] x [B, m, 3] -> (dist [B, n], assign)."""
     B, n, _ = xyz1.shape
     m = xyz2.shape[1]
-    from puflow_tpu.ops.knn import pairwise_sqdist
-
-    base = 3.0 - jnp.sqrt(pairwise_sqdist(xyz1, xyz2))      # [B, n, m]
 
     kernel = functools.partial(_auction_kernel, eps=eps, iters=iters,
                                n=n, m=m)
     assign, dist = pl.pallas_call(
         kernel,
         grid=(B,),
-        in_specs=[pl.BlockSpec((1, n, m), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=[
+            pl.BlockSpec((1, n, 3), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, 3), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=(
             pl.BlockSpec((1, n, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -107,5 +127,5 @@ def emd_auction_pallas(xyz1: jax.Array, xyz2: jax.Array,
             pltpu.VMEM((n, 1), jnp.int32),     # assignment
         ],
         interpret=interpret,
-    )(base)
+    )(xyz1.astype(jnp.float32), xyz2.astype(jnp.float32))
     return dist[..., 0], assign[..., 0]
