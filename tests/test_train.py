@@ -100,3 +100,24 @@ def test_fit_runs_and_logs():
     assert len(hist) == 2
     assert len(logs) == 2
     assert "CD" in hist[0]
+
+
+def test_cd_weight_changes_loss():
+    """The pugan variant adds CD*1e-1 to the objective."""
+    import optax
+
+    from puflow_tpu.train.trainer import make_optimizer, make_train_step
+
+    rng = np.random.RandomState(5)
+    sparse, dense = synthetic_pairs(rng, 8, 32, 4)
+    params, state = discrete.init(jax.random.PRNGKey(0))
+
+    losses = {}
+    for cd_w in (0.0, 1e-1):
+        cfg = TrainConfig(emd_iters=5, cd_weight=cd_w)
+        opt = make_optimizer(cfg)
+        step = make_train_step(opt, cfg)
+        _, _, _, m = step(params, state, opt.init(params),
+                          jnp.asarray(sparse), jnp.asarray(dense))
+        losses[cd_w] = float(m["loss"])
+    assert losses[1e-1] > losses[0.0]
