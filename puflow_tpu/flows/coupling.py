@@ -109,6 +109,37 @@ def affine_coupling_inverse(params: dict, z: jax.Array, c: jax.Array | None,
 
 
 # --------------------------------------------------------------------------
+# affineEx coupling: h1 receives an additive update from h2, then h2 is
+# affinely transformed (reference 'affineEx' branch, `coupling.py:59-65`).
+# Deviation: the reference computes scale/bias from the PRE-update h1 on the
+# forward pass but from the post-update h1 on the inverse (`:60-63` vs
+# `:87-91`), so its inverse is not exact; here scale/bias are taken from the
+# post-update h1 in both directions, making the layer a true bijection.
+# (The shipped checkpoints never instantiate affineEx.)
+# --------------------------------------------------------------------------
+def affine_ex_coupling_forward(params: dict, x: jax.Array,
+                               c: jax.Array | None, split: int):
+    h1, h2 = x[..., :split], x[..., split:]
+    h1 = h1 + linear_a1d_apply(params["g1"], h2)
+    scale = linear_a1d_apply(params["g2"], h1, c)
+    bias = linear_a1d_apply(params["g3"], h1, c)
+    h2 = jnp.exp(scale) * h2 + bias
+    logdet = jnp.sum(scale.reshape(scale.shape[0], -1), axis=1)
+    return jnp.concatenate([h1, h2], axis=-1), logdet
+
+
+def affine_ex_coupling_inverse(params: dict, z: jax.Array,
+                               c: jax.Array | None, split: int):
+    h1, h2 = z[..., :split], z[..., split:]
+    scale = linear_a1d_apply(params["g2"], h1, c)
+    bias = linear_a1d_apply(params["g3"], h1, c)
+    h2 = (h2 - bias) * jnp.exp(-scale)
+    h1 = h1 - linear_a1d_apply(params["g1"], h2)
+    logdet = -jnp.sum(scale.reshape(scale.shape[0], -1), axis=1)
+    return jnp.concatenate([h1, h2], axis=-1), logdet
+
+
+# --------------------------------------------------------------------------
 # Affine injector: transforms ALL dims, parameters from the condition only
 # --------------------------------------------------------------------------
 def affine_injector_forward(params: dict, x: jax.Array, c: jax.Array):

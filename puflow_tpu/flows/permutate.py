@@ -45,6 +45,16 @@ def reverse_indices(channel: int) -> tuple:
     return tuple(range(channel - 1, -1, -1))
 
 
+def random_indices(seed: int, channel: int) -> tuple:
+    """The reference's 'random' permutation (`permutate.py:46-49`):
+    a seeded shuffle, held statically in the model spec."""
+    import numpy as _np
+
+    idx = _np.arange(channel - 1, -1, -1)
+    _np.random.RandomState(seed).shuffle(idx)
+    return tuple(int(i) for i in idx)
+
+
 def invert_indices(idx) -> tuple:
     """Inverse of a permutation given as a sequence of ints."""
     out = np.zeros(len(idx), dtype=np.int64)

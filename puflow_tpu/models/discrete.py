@@ -201,29 +201,32 @@ def log_prob(params, x, cs):
 
 
 def forward(params, state, xyz, upratio: int, train: bool = False,
-            spec: ModelSpec = ModelSpec(), dtype=None):
+            spec: ModelSpec = ModelSpec(), dtype=None, interp_dtype="same"):
     """Full upsampling pass: ``[B, N, 3] -> ([B, N*r, 3], scalar NLL, state')``.
 
     Reference `PointInterpFlow.forward` (`:327-337`). `dtype=jnp.bfloat16`
     selects the fast inference path: encoder/coupling nets on the MXU in
-    bf16, flow arithmetic and log-dets in float32.
+    bf16, flow arithmetic and log-dets in float32. `interp_dtype` can pin
+    the interpolation module (whose softmax weights decide WHERE new points
+    go — the most quality-sensitive stage) to a different precision than
+    the condition encoder; "same" follows `dtype`.
     """
     knn_idx = knn_indices(xyz, xyz, spec.num_neighbors)
     cs, feat_s = feat_extract(params, state, xyz, knn_idx, train, dtype=dtype)
     z, logp_x = log_prob(params, xyz, cs)
     fz, interp_s = interpolation_apply(
         params["interp"], state["interp"], z, xyz, upratio, train,
-        dtype=dtype)
+        dtype=dtype if interp_dtype == "same" else interp_dtype)
     x = g_transform(params, fz, cs, upratio)
     new_state = {"interp": interp_s, "feat_convs": feat_s}
     return x, logp_x, new_state
 
 
 def sample(params, state, sparse, upratio: int = 4,
-           spec: ModelSpec = ModelSpec(), dtype=None):
+           spec: ModelSpec = ModelSpec(), dtype=None, interp_dtype="same"):
     """Inference entry: dense cloud only (reference `sample`, `:347-350`)."""
     dense, _, _ = forward(params, state, sparse, upratio, train=False,
-                          spec=spec, dtype=dtype)
+                          spec=spec, dtype=dtype, interp_dtype=interp_dtype)
     return dense
 
 

@@ -206,3 +206,38 @@ def test_gaussian_logp():
     z_np = np.asarray(z).reshape(B, -1)
     want = -0.5 * (z_np**2 + np.log(2 * np.pi)).sum(axis=1)
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_affine_ex_roundtrip():
+    from puflow_tpu.flows.coupling import (
+        affine_ex_coupling_forward,
+        affine_ex_coupling_inverse,
+        linear_a1d_init,
+    )
+
+    cdim = 5
+    k0, k1, k2, k3 = jax.random.split(KEY, 4)
+    p = {
+        "g1": linear_a1d_init(k0, 2, 16, 1),        # h2 -> h1 update
+        "g2": linear_a1d_init(k1, 1, 16, 2, cdim),  # scale
+        "g3": linear_a1d_init(k2, 1, 16, 2, cdim),  # bias
+    }
+    for net in ("g1", "g2", "g3"):
+        p[net]["w2"] = _rand(k3, p[net]["w2"].shape) * 0.1
+    c = _rand(k0, (B, N, cdim))
+    x = _rand(k1, (B, N, C))
+    z, ld_f = affine_ex_coupling_forward(p, x, c, split=1)
+    x2, ld_i = affine_ex_coupling_inverse(p, z, c, split=1)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ld_f + ld_i), 0.0, atol=1e-4)
+
+
+def test_random_permutation_indices():
+    from puflow_tpu.flows.permutate import invert_indices, random_indices
+
+    idx = random_indices(7, 16)
+    assert sorted(idx) == list(range(16))
+    inv = invert_indices(idx)
+    x = _rand(KEY, (2, 5, 16))
+    y = x[..., list(idx)][..., list(inv)]
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
