@@ -37,7 +37,8 @@ def main():
     if os.path.exists(CKPT):
         from puflow_tpu.checkpoint import load_checkpoint
 
-        params, state, sample_fn = load_checkpoint(CKPT, "discrete")
+        params, state, sample_fn = load_checkpoint(CKPT, "discrete",
+                                                   fold=True)
         params = jax.tree.map(jnp.asarray, params)
         state = jax.tree.map(jnp.asarray, state)
     else:

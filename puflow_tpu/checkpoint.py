@@ -73,11 +73,13 @@ def _cnf_sample_fn(model_params, patches, upratio):
     return continuous.sample(params, state, patches, upratio)
 
 
-def load_checkpoint(path: str, model: str = "discrete"):
+def load_checkpoint(path: str, model: str = "discrete", fold: bool = False):
     """Load any supported checkpoint -> (params, state, sample_fn).
 
     ``sample_fn(model_params=(params, state), patches [M, k, 3], upratio)``
     is a module-level (hashable) jittable callable for `upsample_cloud`.
+    ``fold=True`` folds eval-mode BatchNorm into the convs (inference only —
+    do NOT fold parameters that will be trained further).
     """
     if path.endswith(".npz"):
         params, state = load_npz_checkpoint(path)
@@ -93,6 +95,10 @@ def load_checkpoint(path: str, model: str = "discrete"):
     else:
         raise ValueError(f"unrecognised checkpoint format: {path}")
 
+    if fold:
+        from puflow_tpu.models.fold_bn import fold_bn_inference
+
+        params = fold_bn_inference(params, state)
     sample_fn = (_discrete_sample_fn if model == "discrete"
                  else _cnf_sample_fn)
     return params, state, sample_fn

@@ -49,7 +49,8 @@ def main(argv=None):
     from puflow_tpu.utils.io import load_xyz, save_xyz
 
     rng = np.random.RandomState(args.seed)
-    params, state, sample_fn = load_checkpoint(args.checkpoint, args.model)
+    params, state, sample_fn = load_checkpoint(args.checkpoint, args.model,
+                                               fold=True)
     model_params = (jax.tree.map(jnp.asarray, params),
                     jax.tree.map(jnp.asarray, state))
 

@@ -117,7 +117,10 @@ def feature_extract_apply(params, state, x, knn_idx, train: bool,
             h = h + channel_matmul(h_cat, conv_p["lin"]["w"][3 * C:])
         if "b" in conv_p["lin"]:
             h = h + conv_p["lin"]["b"].astype(dt)
-        h, bn_s2 = bn_apply(conv_p["bn"], bn_s, h, train)
+        if "bn" in conv_p:  # absent once folded (models/fold_bn.py)
+            h, bn_s2 = bn_apply(conv_p["bn"], bn_s, h, train)
+        else:
+            bn_s2 = bn_s
         h = jax.nn.leaky_relu(h, _FEU_SLOPE)
         new_bn.append(bn_s2)
         h_cat = h if h_cat is None else jnp.concatenate([h_cat, h], axis=-1)
@@ -174,10 +177,16 @@ def distance_encoder_apply(params, state, xyz, knn_idx, train: bool,
     if dtype is not None:
         f = f.astype(dtype)
     h = linear_apply(params["lin0"], f)
-    h, bn0 = bn_apply(params["bn0"], state["bn0"], h, train)
+    if "bn0" in params:  # absent once folded (models/fold_bn.py)
+        h, bn0 = bn_apply(params["bn0"], state["bn0"], h, train)
+    else:
+        bn0 = state["bn0"]
     h = jax.nn.leaky_relu(h, _MLP_SLOPE)
     h = linear_apply(params["lin1"], h)
-    h, bn1 = bn_apply(params["bn1"], state["bn1"], h, train)
+    if "bn1" in params:
+        h, bn1 = bn_apply(params["bn1"], state["bn1"], h, train)
+    else:
+        bn1 = state["bn1"]
     h = jax.nn.leaky_relu(h, _MLP_SLOPE)
     h = linear_apply(params["lin2"], h)                    # [B, N, k, dim_out]
     return h, {"bn0": bn0, "bn1": bn1}
@@ -230,10 +239,16 @@ def weight_unit_apply(params, state, context, train: bool):
     Runs in the compute dtype `context` arrives in (bf16 on the fast path).
     """
     h = linear_apply(params["lin0"], context)
-    h, bn0 = bn_apply(params["bn0"], state["bn0"], h, train)
+    if "bn0" in params:  # absent once folded (models/fold_bn.py)
+        h, bn0 = bn_apply(params["bn0"], state["bn0"], h, train)
+    else:
+        bn0 = state["bn0"]
     h = jax.nn.leaky_relu(h, _MLP_SLOPE)
     h = linear_apply(params["lin1"], h)
-    h, bn1 = bn_apply(params["bn1"], state["bn1"], h, train)
+    if "bn1" in params:
+        h, bn1 = bn_apply(params["bn1"], state["bn1"], h, train)
+    else:
+        bn1 = state["bn1"]
     h = jax.nn.leaky_relu(h, _MLP_SLOPE)
     h = linear_apply(params["lin2"], h)
     return h, {"bn0": bn0, "bn1": bn1}

@@ -67,12 +67,11 @@ def knn_indices(
       ``idx [B, N, k]`` int32 (ascending distance order), and optionally
       ``sqdist [B, N, k]``.
     """
-    if (query is points and not return_dist and k <= 64
-            and query.shape[1] <= 1024 and query.shape[-1] == 3
-            and jax.default_backend() not in ("cpu",)):
-        from puflow_tpu.ops.pallas.knn_pallas import knn_self_pallas
-
-        return knn_self_pallas(query, k)
+    # NOTE: a fused Pallas self-kNN kernel exists
+    # (`ops/pallas/knn_pallas.py`) but measured SLOWER than this XLA path at
+    # patch shapes (28ms vs 15ms for [256x256] K=16) — the iterative
+    # argmin sweeps don't beat the tuned top_k lowering. Dispatch disabled
+    # until the kernel wins; tests keep it correct.
     d = pairwise_sqdist(query, points)                      # [B, N, M]
     neg_d, idx = jax.lax.top_k(-d, k)                       # ascending distance
     if return_dist:

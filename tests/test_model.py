@@ -74,3 +74,18 @@ def test_sample_deterministic():
     d1 = discrete.sample(params, state, xyz, upratio=4)
     d2 = discrete.sample(params, state, xyz, upratio=4)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2))
+
+
+def test_bn_folding_matches_eval_forward():
+    """Folded params produce the same eval outputs as live BN."""
+    from puflow_tpu.models.fold_bn import fold_bn_inference
+
+    params, state = discrete.init(KEY)
+    # give BN nontrivial running stats
+    state = jax.tree.map(
+        lambda x: x + 0.3 * jnp.abs(jax.random.normal(KEY, x.shape)), state)
+    folded = fold_bn_inference(params, state)
+    xyz = jax.random.uniform(jax.random.PRNGKey(6), (2, 64, 3)) - 0.5
+    a = discrete.sample(params, state, xyz, upratio=4)
+    b = discrete.sample(folded, state, xyz, upratio=4)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
