@@ -157,6 +157,17 @@ def feat_extract(params, state, xyz, knn_idx, train: bool, dtype=None):
     pyramid; conditions are emitted in that dtype and the coupling MLPs cast
     their outputs back to float32 before any flow arithmetic.
     """
+    folded = "bn" not in params["feat_convs"][0]["convs"][0]
+    if (folded and not train and jax.default_backend() not in ("cpu",)
+            and xyz.shape[1] * knn_idx.shape[-1] <= 8192):
+        # fused single-kernel encoder (inference fast path; ~5x over the
+        # XLA formulation — see ops/pallas/encoder_pallas.py)
+        from puflow_tpu.ops.pallas.encoder_pallas import (
+            encoder_conditions_pallas,
+        )
+
+        return encoder_conditions_pallas(params, xyz, knn_idx), \
+            state["feat_convs"]
     cs, new_fs = [], []
     c = xyz if dtype is None else xyz.astype(dtype)
     gather_fn = make_neighbor_gather(knn_idx, xyz.shape[1], dtype)

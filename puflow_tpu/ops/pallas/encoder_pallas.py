@@ -1,0 +1,344 @@
+"""Fully-fused EdgeConv condition encoder as one Pallas kernel.
+
+The XLA encoder (`models/encoder.py` + `models/discrete.feat_extract`) is
+HBM-bound: the per-block neighbour-projection tensors ([B, N*K, ~256] f32,
+~1 GB each) and the one-hot gather matrix (~0.5 GB) stream through HBM six
+times per forward (~74 ms of the 107 ms model forward at 256 patches).
+Here ONE kernel program per patch keeps everything in VMEM:
+
+  * the [N*K, N] one-hot gather matrix is built in-register from the k-NN
+    indices (bf16, exact);
+  * per block: self/neighbour projections, the densely-connected conv
+    stack, K-axis max pooling and the condition-merge MLP run back to back
+    on VMEM tensors;
+  * only xyz, idx and the six condition outputs touch HBM.
+
+Inference-only and requires BN-FOLDED parameters (`models/fold_bn.py`).
+The neighbour gather uses the exact hi/lo bf16 split (single-pass MXU, f32
+reconstruction — same scheme as `ops/knn.gather_by_onehot`); other matmuls
+run 3-pass f32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SLOPE = 0.05  # FeatureExtractUnit LeakyReLU
+
+
+def _leaky(x):
+    return jnp.where(x > 0, x, _SLOPE * x)
+
+
+def _f32_dot(a, b):
+    # Mosaic handles f32 dots natively; pin DEFAULT so the global 'highest'
+    # policy doesn't reach in-kernel lowering
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.DEFAULT)
+
+
+def _onehot_dot(onehot_bf16, b_f32):
+    """Exact gather: one-hot [p, q] bf16 x values [q, r] f32 -> [p, r] f32
+    via the hi/lo split (two single-pass MXU matmuls)."""
+    hi = b_f32.astype(jnp.bfloat16)
+    lo = (b_f32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def dot(b):
+        # explicit DEFAULT precision: the global 'highest' matmul policy
+        # would otherwise reach this bf16 dot and break Mosaic lowering
+        return jax.lax.dot_general(onehot_bf16, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.DEFAULT)
+
+    return dot(hi) + dot(lo)
+
+
+def _tile_rows(a, k):
+    """[n, c] -> [k*n, c] by stacking k copies (slot-major layout)."""
+    return jnp.concatenate([a] * k, axis=0)
+
+
+def _encoder_kernel(xyz_ref, idx_ref, *refs, n: int, k: int,
+                    growths, odims, cdims):
+    num_blocks = len(odims)
+    weight_refs = refs[:-num_blocks]
+    out_refs = refs[-num_blocks:]
+
+    # slot-major rows: r = s*n + p  (Mosaic cannot fold a lane dim into
+    # sublanes, so the caller pre-flattens idx to [k*n, 1] in this order;
+    # slot-major also makes the self-term a whole-array tile and the K-pool
+    # a set of static row slices)
+    idx_col = idx_ref[0]                                   # [k*n, 1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n * k, n), 1)
+    onehot = (cols == idx_col).astype(jnp.bfloat16)
+
+    x = xyz_ref[0]                                         # [n, C_b]
+    wi = 0
+
+    def take():
+        nonlocal wi
+        r = weight_refs[wi][...]
+        wi += 1
+        return r
+
+    for b in range(num_blocks):
+        n_layers = len(growths[b])
+        w_self = take()                                    # [C, Gt]
+        w_nbr = take()                                     # [C, Gt]
+
+        p_self = _tile_rows(_f32_dot(x, w_self), k)        # [k*n, Gt]
+        p_nbr = _onehot_dot(onehot, _f32_dot(x, w_nbr))    # [k*n, Gt]
+
+        offset = 0
+        h_cat = None
+        for j in range(n_layers):
+            g = growths[b][j]
+            h = (p_self[:, offset:offset + g] + p_nbr[:, offset:offset + g]
+                 + take())                                 # bias [1, G_j]
+            if j > 0:
+                h = h + _f32_dot(h_cat, take())            # [P_j, G_j]
+            h = _leaky(h)
+            h_cat = h if h_cat is None else jnp.concatenate([h_cat, h],
+                                                            axis=1)
+            offset += g
+
+        f = (p_self[:, offset:] + p_nbr[:, offset:] + take())  # out bias
+        f = f + _f32_dot(h_cat, take())                    # conv_out h part
+        # K-pool over slot-major rows: max of k static [n, odim] slices
+        pooled = f[0:n, :]
+        for sl in range(1, k):
+            pooled = jnp.maximum(pooled, f[sl * n:(sl + 1) * n, :])
+        f = pooled                                         # [n, odim]
+
+        wm1, bm1, wm2 = take(), take(), take()
+        m = jnp.maximum(_f32_dot(f, wm1) + bm1, 0.0)
+        out_refs[b][0] = _f32_dot(m, wm2)                  # [n, cdim]
+
+        x = f
+
+
+def _block_weights(params):
+    """Folded per-block params -> flat weight arrays in kernel order."""
+    out = []
+    meta_growths, meta_odims, meta_cdims = [], [], []
+    for fp, mp in zip(params["feat_convs"], params["merge_convs"]):
+        layers = [c["lin"] for c in fp["convs"]] + [fp["conv_out"]]
+        if any("bn" in c for c in fp["convs"]):
+            raise ValueError("encoder kernel requires BN-folded params "
+                             "(models/fold_bn.fold_bn_inference)")
+        # infer C from the first layer: w [3C, G]
+        C = layers[0]["w"].shape[0] // 3
+        growths = [c["lin"]["w"].shape[1] for c in fp["convs"]]
+        odim = fp["conv_out"]["w"].shape[1]
+        w_selfs, w_nbrs, biases = [], [], []
+        for lay in layers:
+            w = lay["w"]
+            w_selfs.append(w[:C] - w[2 * C:3 * C])
+            w_nbrs.append(w[C:2 * C] + w[2 * C:3 * C])
+            biases.append(lay.get("b", jnp.zeros(w.shape[1])))
+        out.append(jnp.concatenate(w_selfs, axis=1))
+        out.append(jnp.concatenate(w_nbrs, axis=1))
+        # per-layer biases as separate refs: lane-offset slices of a fused
+        # bias vector break Mosaic broadcast layouts
+        for j, lay in enumerate(layers[:-1]):
+            out.append(biases[j][None, :])
+            if j > 0:
+                out.append(lay["w"][3 * C:])
+        out.append(biases[-1][None, :])
+        out.append(layers[-1]["w"][3 * C:])
+        out.append(mp["conv1"]["w"])
+        out.append(mp["conv1"]["b"][None, :])
+        out.append(mp["conv2"]["w"])
+        meta_growths.append(tuple(growths))
+        meta_odims.append(odim)
+        meta_cdims.append(mp["conv2"]["w"].shape[1])
+    return out, (tuple(meta_growths), tuple(meta_odims), tuple(meta_cdims))
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def encoder_conditions_pallas(params, xyz: jax.Array, knn_idx: jax.Array,
+                              interpret: bool = False):
+    """Fused condition encoder: xyz [B, n, 3], idx [B, n, k] -> list of
+    [B, n, cdim_i] condition tensors. `params` must be BN-folded."""
+    B, n, _ = xyz.shape
+    k = knn_idx.shape[-1]
+    weights, (growths, odims, cdims) = _block_weights(params)
+
+    kernel = functools.partial(_encoder_kernel, n=n, k=k, growths=growths,
+                               odims=odims, cdims=cdims)
+    num_blocks = len(odims)
+    # slot-major flatten: row s*n + p holds neighbour s of point p
+    idx_sm = jnp.swapaxes(knn_idx.astype(jnp.int32), 1, 2).reshape(
+        B, k * n, 1)
+
+    w_specs = [
+        pl.BlockSpec(w.shape, (lambda bb, nd=w.ndim: (0,) * nd),
+                     memory_space=pltpu.VMEM)
+        for w in weights
+    ]
+    out_specs = tuple(
+        pl.BlockSpec((1, n, cdims[i]), lambda bb: (bb, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for i in range(num_blocks)
+    )
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((B, n, cdims[i]), jnp.float32)
+        for i in range(num_blocks)
+    )
+    cs = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, n, 3), lambda bb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k * n, 1), lambda bb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + w_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(xyz.astype(jnp.float32), idx_sm, *weights)
+    return list(cs)
+
+
+# ---------------------------------------------------------------------------
+# Fused interpolation-weight head: distance encoder + context EdgeConv +
+# weight-estimation MLP in one kernel (reference `InterpolationModule`,
+# `modules/discrete/interpflow.py:162-186`). The interpolation weights
+# depend only on the input geometry, so the whole head runs per patch in
+# VMEM and only the [n*k, R_MAX] logits leave the kernel.
+# ---------------------------------------------------------------------------
+def _leaky01(x):
+    return jnp.where(x > 0, x, 0.01 * x)
+
+
+def _interp_kernel(xyz_ref, idx_ref, *refs, n: int, k: int, growths,
+                   feu_odim: int, r_max: int):
+    weight_refs = refs[:-1]
+    out_ref = refs[-1]
+    wi = 0
+
+    def take():
+        nonlocal wi
+        r = weight_refs[wi][...]
+        wi += 1
+        return r
+
+    idx_col = idx_ref[0]                                   # [k*n, 1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n * k, n), 1)
+    onehot = (cols == idx_col).astype(jnp.bfloat16)
+
+    x = xyz_ref[0]                                         # [n, 3]
+
+    # --- distance features: [pt, nei, pt - nei, |pt - nei|] -------------
+    nei = _onehot_dot(onehot, x)                           # [k*n, 3]
+    pt = _tile_rows(x, k)
+    vec = pt - nei
+    dist = jnp.sqrt(jnp.sum(vec * vec, axis=1, keepdims=True))
+    f10 = jnp.concatenate([pt, nei, vec, dist], axis=1)    # [k*n, 10]
+
+    h = _leaky01(_f32_dot(f10, take()) + take())           # de lin0+b
+    h = _leaky01(_f32_dot(h, take()) + take())             # de lin1+b
+    de_out = _f32_dot(h, take()) + take()                  # de lin2+b [.,128]
+
+    # --- context EdgeConv (no pooling), slope 0.05 ----------------------
+    w_self, w_nbr = take(), take()
+    p_self = _tile_rows(_f32_dot(x, w_self), k)
+    p_nbr = _onehot_dot(onehot, _f32_dot(x, w_nbr))
+    offset = 0
+    h_cat = None
+    for j in range(len(growths)):
+        g = growths[j]
+        hh = p_self[:, offset:offset + g] + p_nbr[:, offset:offset + g] \
+            + take()
+        if j > 0:
+            hh = hh + _f32_dot(h_cat, take())
+        hh = _leaky(hh)
+        h_cat = hh if h_cat is None else jnp.concatenate([h_cat, hh],
+                                                         axis=1)
+        offset += g
+    feu = p_self[:, offset:] + p_nbr[:, offset:] + take()
+    feu = feu + _f32_dot(h_cat, take())                    # [k*n, odim]
+
+    ctx = jnp.concatenate([de_out, feu], axis=1)           # [k*n, 256]
+
+    # --- weight-estimation MLP, slope 0.01 ------------------------------
+    h = _leaky01(_f32_dot(ctx, take()) + take())
+    h = _leaky01(_f32_dot(h, take()) + take())
+    out_ref[0] = _f32_dot(h, take()) + take()              # [k*n, r_max]
+
+
+def _mlp3_weights(p):
+    return [p["lin0"]["w"], p["lin0"]["b"][None, :],
+            p["lin1"]["w"], p["lin1"]["b"][None, :],
+            p["lin2"]["w"], p["lin2"]["b"][None, :]]
+
+
+def _feu_weights(fp):
+    layers = [c["lin"] for c in fp["convs"]] + [fp["conv_out"]]
+    if any("bn" in c for c in fp["convs"]):
+        raise ValueError("interp kernel requires BN-folded params")
+    C = layers[0]["w"].shape[0] // 3
+    out = []
+    w_selfs, w_nbrs = [], []
+    for lay in layers:
+        w = lay["w"]
+        w_selfs.append(w[:C] - w[2 * C:3 * C])
+        w_nbrs.append(w[C:2 * C] + w[2 * C:3 * C])
+    out.append(jnp.concatenate(w_selfs, axis=1))
+    out.append(jnp.concatenate(w_nbrs, axis=1))
+    for j, lay in enumerate(layers[:-1]):
+        out.append(lay["b"][None, :])
+        if j > 0:
+            out.append(lay["w"][3 * C:])
+    out.append(layers[-1]["b"][None, :])
+    out.append(layers[-1]["w"][3 * C:])
+    growths = tuple(c["lin"]["w"].shape[1] for c in fp["convs"])
+    return out, growths, layers[-1]["w"].shape[1]
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def interp_logits_pallas(interp_params, xyz: jax.Array, knn_idx: jax.Array,
+                         interpret: bool = False):
+    """Fused interpolation-weight head: xyz [B, n, 3], idx [B, n, k] ->
+    logits [B, n, k, R_MAX]. `interp_params` must be BN-folded."""
+    B, n, _ = xyz.shape
+    k = knn_idx.shape[-1]
+    kc = interp_params["knn_context"]
+    weights = _mlp3_weights(kc["distance_encoder"])
+    feu_w, growths, feu_odim = _feu_weights(kc["feat_conv"])
+    weights += feu_w
+    weights += _mlp3_weights(interp_params["weight_unit"])
+    r_max = interp_params["weight_unit"]["lin2"]["w"].shape[1]
+
+    idx_sm = jnp.swapaxes(knn_idx.astype(jnp.int32), 1, 2).reshape(
+        B, k * n, 1)
+    kernel = functools.partial(_interp_kernel, n=n, k=k, growths=growths,
+                               feu_odim=feu_odim, r_max=r_max)
+    w_specs = [
+        pl.BlockSpec(w.shape, (lambda bb, nd=w.ndim: (0,) * nd),
+                     memory_space=pltpu.VMEM)
+        for w in weights
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, n, 3), lambda bb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k * n, 1), lambda bb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + w_specs,
+        out_specs=pl.BlockSpec((1, k * n, r_max), lambda bb: (bb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, k * n, r_max), jnp.float32),
+        interpret=interpret,
+    )(xyz.astype(jnp.float32), idx_sm, *weights)
+    # slot-major [B, k*n, R] -> [B, n, k, R]
+    return jnp.swapaxes(out.reshape(B, k, n, r_max), 1, 2)
