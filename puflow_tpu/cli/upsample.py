@@ -72,17 +72,27 @@ def main(argv=None):
     n_done = 0
     for n, items in sorted(by_n.items()):
         npoint = (args.num_out or n * args.up_ratio) + args.num_outlier
-        for path, pts in items:
-            pts = pts[rng.permutation(n)]  # reference `upsample.py:44`
-            cloud = jnp.asarray(pts)[None]
+        # batch same-size clouds through one jit call (pad the tail batch
+        # so every batch reuses the same compilation)
+        bsz = max(1, args.batch)
+        for start in range(0, len(items), bsz):
+            chunk = items[start:start + bsz]
+            clouds = np.stack([
+                pts[rng.permutation(n)] for _, pts in chunk])
+            pad = bsz - len(chunk)
+            if pad:
+                clouds = np.concatenate(
+                    [clouds, np.repeat(clouds[-1:], pad, axis=0)])
+            clouds = jnp.asarray(clouds)
             pred = upsample_cloud(
-                model_params, cloud, sample_fn, npoint, args.up_ratio,
+                model_params, clouds, sample_fn, npoint, args.up_ratio,
                 args.num_patch, 4.0)
             if args.num_outlier > 0:
-                pred = remove_outliers(pred, cloud, args.num_outlier)
-            out = np.asarray(pred[0])
-            save_xyz(Path(args.target) / os.path.basename(path), out)
-            n_done += 1
+                pred = remove_outliers(pred, clouds, args.num_outlier)
+            pred = np.asarray(pred)
+            for (path, _), out in zip(chunk, pred):
+                save_xyz(Path(args.target) / os.path.basename(path), out)
+                n_done += 1
     dt = time.time() - t_start
     print(f"upsampled {n_done} clouds in {dt:.1f}s "
           f"({n_done / dt:.2f} clouds/s)")

@@ -189,14 +189,23 @@ def f_transform(params, x, cs):
     return x, log_det
 
 
-def g_transform(params, z, cs, upratio: int):
+def g_transform(params, z, cs, upratio: int, fast: bool = False):
     """Latents [B, N, C, r] -> points [B, N*r, C] (reference `g`, `:315-321`).
 
     The [B, N, r, C] flatten ordering means each input point's r samples are
     consecutive rows, matching `repeat_interleave(cond, upratio, dim=1)`.
+    `fast=True` (inference) runs the whole chain as one per-patch Pallas
+    kernel (`ops/pallas/flow_pallas.py`); the kernel has no VJP, so the
+    training path keeps the XLA formulation.
     """
     B, N, C, r = z.shape
     z = jnp.swapaxes(z, 2, 3).reshape(B, N * r, C)
+    if (fast and jax.default_backend() not in ("cpu",)
+            and N * r <= 4096):
+        from puflow_tpu.ops.pallas.flow_pallas import flow_g_pallas
+
+        cs_rep = [jnp.repeat(c, upratio, axis=1) for c in cs]
+        return flow_g_pallas(params["flow_blocks"], z, cs_rep)
     for i in reversed(range(len(params["flow_blocks"]))):
         c = jnp.repeat(cs[i], upratio, axis=1)
         z = flow_block_inverse(params["flow_blocks"][i], z, c,
@@ -228,7 +237,7 @@ def forward(params, state, xyz, upratio: int, train: bool = False,
     fz, interp_s = interpolation_apply(
         params["interp"], state["interp"], z, xyz, upratio, train,
         dtype=dtype if interp_dtype == "same" else interp_dtype)
-    x = g_transform(params, fz, cs, upratio)
+    x = g_transform(params, fz, cs, upratio, fast=not train)
     new_state = {"interp": interp_s, "feat_convs": feat_s}
     return x, logp_x, new_state
 
