@@ -16,7 +16,7 @@ Design deviations (better on TPU, same semantics):
   * divergence is the EXACT trace via 3 forward-mode JVPs (state dim is 3)
     instead of the reference's stochastic Hutchinson estimator with nested
     autograd (`odefunc.py:9-30`) — an unbiased, zero-variance replacement;
-    `hutchinson=True` recovers the estimator for API parity.
+    `field_with_hutchinson_div` provides the estimator for API parity.
   * gradients flow through the discretised solver (`models/ode.py`) rather
     than a continuous adjoint — equivalent to solver tolerance, and jit
     compiles to one fused loop.
@@ -25,7 +25,6 @@ Design deviations (better on TPU, same semantics):
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

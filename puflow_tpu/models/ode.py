@@ -20,7 +20,6 @@ Integration runs backward automatically when t1 < t0.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
