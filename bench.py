@@ -49,7 +49,7 @@ def main():
             return discrete.sample(p, s, patches, upratio)
 
     n_chips = jax.device_count()
-    B, N, R = 16, 2048, 4
+    B, N, R = 8, 2048, 4
     n_patch_per_cloud = int(N / 256 * 4)
     npoint = N * R + 24
 

@@ -100,7 +100,7 @@ def _fps_kernel_batched(xyz_ref, out_ref, mind_ref, *, n_valid: int, m: int):
                       (pick(xs, zero), pick(ys, zero), pick(zs, zero)))
 
 
-_VMEM_BUDGET = 12 * 1024 * 1024
+_VMEM_BUDGET = 8 * 1024 * 1024
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
