@@ -164,3 +164,63 @@ def odeint_dopri5(func, y0, t0, t1, rtol: float = 1e-5, atol: float = 1e-5,
     if return_stats:
         return yf, {"steps": n, "nfe": 1 + 6 * n}
     return yf
+
+
+# ---------------------------------------------------------------------------
+# Continuous adjoint (the reference's `odeint_adjoint` equivalent,
+# `modules/continuous/cnf.py:3-4,89`): memory-O(1) gradients by integrating
+# the augmented system backward with the SAME adaptive while_loop driver —
+# no unrolled scan in the autodiff graph, so CNF training compiles in
+# seconds instead of tens of minutes.
+# ---------------------------------------------------------------------------
+def _tree_vdot(a, b):
+    parts = jax.tree.map(lambda x, y: jnp.sum(x * y), a, b)
+    return sum(jax.tree.leaves(parts))
+
+
+def make_adjoint_odeint(func, rtol: float = 1e-5, atol: float = 1e-5,
+                        max_steps: int = 128):
+    """Build ``solve(params, y0, t0, t1) -> y(t1)`` with adjoint gradients.
+
+    ``func(params, t, y) -> dy`` where `params` and `y` are pytrees.
+    Gradients flow to `params`, `y0`, `t0` and `t1` (the CNF's trainable
+    end time T = sqrt_end_time^2 differentiates through t1/t0).
+
+    Backward solves d/dt [y, a, g] = [f, -a^T df/dy, -a^T df/dparams] from
+    t1 to t0 (one vjp of `func` per field evaluation), with the boundary
+    terms dL/dt1 = a(t1).f(t1, y1) and dL/dt0 = -a(t0).f(t0, y0).
+    """
+
+    @jax.custom_vjp
+    def solve(params, y0, t0, t1):
+        return odeint_dopri5(lambda t, y: func(params, t, y), y0, t0, t1,
+                             rtol, atol, max_steps, differentiable=False)
+
+    def fwd(params, y0, t0, t1):
+        y1 = solve(params, y0, t0, t1)
+        return y1, (params, y1, t0, t1)
+
+    def bwd(res, y1_bar):
+        params, y1, t0, t1 = res
+        t0 = jnp.asarray(t0, jnp.float32)
+        t1 = jnp.asarray(t1, jnp.float32)
+        f1 = func(params, t1, y1)
+        t1_bar = _tree_vdot(y1_bar, f1)
+
+        def aug_field(t, state):
+            y, a, _g = state
+            dy, vjp_fn = jax.vjp(lambda pp, yy: func(pp, t, yy), params, y)
+            p_bar, y_bar = vjp_fn(a)
+            return (dy, jax.tree.map(jnp.negative, y_bar),
+                    jax.tree.map(jnp.negative, p_bar))
+
+        g0 = jax.tree.map(jnp.zeros_like, params)
+        y0_rec, a0, g_total = odeint_dopri5(
+            aug_field, (y1, y1_bar, g0), t1, t0, rtol, atol, max_steps,
+            differentiable=False)
+        f0 = func(params, t0, y0_rec)
+        t0_bar = -_tree_vdot(a0, f0)
+        return g_total, a0, t0_bar, t1_bar
+
+    solve.defvjp(fwd, bwd)
+    return solve

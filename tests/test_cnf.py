@@ -161,3 +161,33 @@ def test_exact_divergence_matches_autodiff():
         np.testing.assert_allclose(float(-neg_div[0, p, 0]),
                                    float(jnp.trace(jac)), rtol=1e-4,
                                    atol=1e-5)
+
+
+def test_adjoint_gradients_match_scan():
+    """Continuous-adjoint custom VJP == differentiating through the solver."""
+    params, _ = continuous.init(KEY)
+    block = params["flow_blocks"][0]
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 3)) * 0.4
+    c = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 32)) * 0.4
+
+    def loss_adj(blk):
+        z, logp = continuous.flow_block_forward(blk, x, c,
+                                                differentiable=True)
+        return jnp.sum(z**2) + jnp.sum(logp)
+
+    def loss_scan(blk):
+        T = blk["sqrt_end_time"] ** 2
+        logp0 = jnp.zeros(x.shape[:-1] + (1,))
+        fn = lambda t, s: continuous._cnf_field(  # noqa: E731
+            {"layers": blk["layers"], "c": c}, t, s)
+        z, logp = odeint_dopri5(fn, (x, logp0), 0.0, T, 1e-5, 1e-5, 128,
+                                differentiable=True)
+        return jnp.sum(z**2) + jnp.sum(logp)
+
+    va, ga = jax.value_and_grad(loss_adj)(block)
+    vs, gs = jax.value_and_grad(loss_scan)(block)
+    assert abs(float(va) - float(vs)) < 1e-4
+    rel = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-8)),
+        ga, gs)
+    assert max(jax.tree.leaves(rel)) < 2e-2
