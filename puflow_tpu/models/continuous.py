@@ -45,12 +45,10 @@ NUM_BLOCKS = 6
 T_INIT = 0.5
 HDIMS = (64, 64)
 ATOL = RTOL = 1e-5
-# Step budgets: inference uses an early-exit while_loop, so its bound is a
-# safety net; the differentiable (training) driver always runs its full
-# masked scan, so its budget is sized to the observed solver behaviour
-# (~7 accepted steps/block at tol 1e-5, NFE ~38) with margin for rejects.
+# Step budget: both directions use early-exit while_loop drivers (training
+# goes through the continuous adjoint), so this is a safety net well above
+# the observed ~7 accepted steps/block at tol 1e-5.
 MAX_STEPS_EVAL = 128
-MAX_STEPS_TRAIN = 48
 
 
 # --------------------------------------------------------------------------
