@@ -98,6 +98,12 @@ def _mlp3(sd: dict, prefix: str):
 
 def convert_discrete(sd: dict, num_blocks: int = 6):
     """Reference `PointInterpFlow` state_dict -> (params, state) pytrees."""
+    if "flow_blocks.0.actnorm.logs" not in sd:
+        kind = ("continuous (CNF)" if "flow_blocks.0.cnf.sqrt_end_time" in sd
+                else "unknown")
+        raise ValueError(
+            f"checkpoint is not a discrete PointInterpFlow state_dict "
+            f"(looks like: {kind}); pass model='cnf' to load CNF weights")
     interp_p, interp_s, feat_p, feat_s, merge_p = _encoder_trees(
         sd, num_blocks)
 
@@ -179,6 +185,12 @@ def convert_cnf(sd: dict, num_blocks: int = 6):
     `_hyper_gate` with). `odefunc._num_evals` is an introspection buffer and
     is dropped.
     """
+    if "flow_blocks.0.cnf.sqrt_end_time" not in sd:
+        kind = ("discrete" if "flow_blocks.0.actnorm.logs" in sd
+                else "unknown")
+        raise ValueError(
+            f"checkpoint is not a continuous (CNF) state_dict (looks like: "
+            f"{kind}); pass model='discrete' to load discrete weights")
     interp_p, interp_s, feat_p, feat_s, merge_p = _encoder_trees(
         sd, num_blocks)
 

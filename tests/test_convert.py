@@ -137,3 +137,16 @@ def test_latents_parity(reference_net, jax_model):
     np.testing.assert_allclose(np.asarray(z_j), z_t.numpy(), atol=2e-3)
     np.testing.assert_allclose(np.asarray(logdet_j), logdet_t.numpy(),
                                rtol=1e-3, atol=0.5)
+
+
+def test_wrong_family_checkpoint_raises_clearly():
+    from puflow_tpu.convert.torch_ckpt import (
+        load_cnf_checkpoint,
+        load_discrete_checkpoint,
+    )
+
+    cnf_ckpt = os.path.join(REFERENCE, "pretrain", "puflow-x4-cnf-pu1k.pt")
+    with pytest.raises(ValueError, match="continuous"):
+        load_discrete_checkpoint(cnf_ckpt)
+    with pytest.raises(ValueError, match="discrete"):
+        load_cnf_checkpoint(CKPT)
