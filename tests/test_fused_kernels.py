@@ -1,0 +1,83 @@
+"""Fused Pallas kernels vs the XLA formulations (interpret mode, real ckpt).
+
+The fused encoder / interp-head / inverse-flow kernels only dispatch on TPU;
+these tests pin their math on CPU through the Pallas interpreter so kernel
+regressions are caught by the (CPU) suite.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+CKPT = "/root/reference/pretrain/puflow-x4-pu1k.pt"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(CKPT),
+                                reason="no pretrained ckpt")
+
+
+@pytest.fixture(scope="module")
+def folded():
+    from puflow_tpu.checkpoint import load_checkpoint
+
+    params, state, _ = load_checkpoint(CKPT, "discrete", fold=True)
+    return (jax.tree.map(jnp.asarray, params),
+            jax.tree.map(jnp.asarray, state))
+
+
+def test_encoder_kernel_matches_xla(folded):
+    from puflow_tpu.models import discrete
+    from puflow_tpu.ops.knn import knn_indices
+    from puflow_tpu.ops.pallas.encoder_pallas import (
+        encoder_conditions_pallas,
+    )
+
+    params, state = folded
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 3)) * 0.3
+    idx = knn_indices(x, x, 16)
+    cs_ref, _ = discrete.feat_extract(params, state, x, idx, train=False)
+    cs_k = encoder_conditions_pallas(params, x, idx, True)
+    for i, (a, b) in enumerate(zip(cs_ref, cs_k)):
+        err = np.abs(np.asarray(a) - np.asarray(b)).max()
+        # fp-reassociation noise compounds through the recursive pyramid
+        assert err < 5e-3, f"block {i}: {err}"
+
+
+def test_interp_kernel_matches_xla(folded):
+    from puflow_tpu.models.encoder import (
+        knn_context_apply,
+        weight_unit_apply,
+    )
+    from puflow_tpu.ops.knn import knn_indices
+    from puflow_tpu.ops.pallas.encoder_pallas import interp_logits_pallas
+
+    params, state = folded
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 3)) * 0.3
+    idx = knn_indices(x, x, 8)
+    ip, istate = params["interp"], state["interp"]
+    ctx, _ = knn_context_apply(ip["knn_context"], istate["knn_context"], x,
+                               idx, False)
+    logits_ref, _ = weight_unit_apply(ip["weight_unit"],
+                                      istate["weight_unit"], ctx, False)
+    logits_k = interp_logits_pallas(ip, x, idx, True)
+    err = np.abs(np.asarray(logits_ref) - np.asarray(logits_k)).max()
+    assert err < 2e-3, err
+
+
+def test_flow_g_kernel_matches_xla(folded):
+    from puflow_tpu.models import discrete
+    from puflow_tpu.ops.pallas.flow_pallas import flow_g_pallas
+
+    params, _ = folded
+    B, n, r = 2, 32, 4
+    z = jax.random.normal(jax.random.PRNGKey(3), (B, n, 3, r)) * 0.5
+    cs = [jax.random.normal(jax.random.PRNGKey(10 + i), (B, n, c)) * 0.5
+          for i, c in enumerate([32, 64, 128, 128, 128, 128])]
+    x_ref = discrete.g_transform(params, z, cs, r, fast=False)
+    z_flat = jnp.swapaxes(z, 2, 3).reshape(B, n * r, 3)
+    cs_rep = [jnp.repeat(c, r, axis=1) for c in cs]
+    x_k = flow_g_pallas(params["flow_blocks"], z_flat, cs_rep, True)
+    np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_ref),
+                               atol=1e-5)
