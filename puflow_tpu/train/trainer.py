@@ -158,30 +158,40 @@ class Trainer:
             self._lr, dtype=jnp.float32)
 
     def train_epoch(self, batches) -> dict:
-        """batches: iterable of (sparse [B,N,3], dense [B,N*r,3]) numpy."""
+        """batches: iterable of (sparse [B,N,3], dense [B,N*r,3]) numpy.
+
+        Metrics stay on device until the epoch ends: a per-step `float()`
+        costs a full host round-trip (~30ms on the remote TPU tunnel, more
+        than half a train step).
+        """
         self._set_lr()
-        agg, n = {}, 0
+        step_metrics, n = [], 0
         for sparse, dense in batches:
             self.params, self.bn_state, self.opt_state, m = self._train_step(
                 self.params, self.bn_state, self.opt_state,
                 jnp.asarray(sparse), jnp.asarray(dense))
+            step_metrics.append(m)
             n += 1
-            for k, v in m.items():
-                agg[k] = agg.get(k, 0.0) + float(v)
-        return {k: v / max(n, 1) for k, v in agg.items()} | {"steps": n,
-                                                             "lr": self._lr}
+        agg = {}
+        if step_metrics:
+            stacked = {k: np.asarray(jnp.stack([m[k] for m in step_metrics]))
+                       for k in step_metrics[0]}
+            agg = {k: float(v.mean()) for k, v in stacked.items()}
+        return agg | {"steps": n, "lr": self._lr}
 
     def validate(self, batches) -> dict:
-        agg, n = {}, 0
+        step_metrics = []
         for sparse, dense in batches:
-            m = self._eval_step(self.params, self.bn_state,
-                                jnp.asarray(sparse), jnp.asarray(dense))
-            n += 1
-            for k, v in m.items():
-                agg[k] = agg.get(k, 0.0) + float(v)
+            step_metrics.append(self._eval_step(
+                self.params, self.bn_state, jnp.asarray(sparse),
+                jnp.asarray(dense)))
+        if not step_metrics:
+            return {"CD": 0.0, "vloss": 0.0}
+        stacked = {k: np.asarray(jnp.stack([m[k] for m in step_metrics]))
+                   for k in step_metrics[0]}
         # reference sums CD over validation batches (`train_pu1k.py:97-99`)
-        return {"CD": agg.get("CD", 0.0),
-                "vloss": agg.get("vloss", 0.0) * 1e-5}
+        return {"CD": float(stacked["CD"].sum()),
+                "vloss": float(stacked["vloss"].sum()) * 1e-5}
 
     def fit(self, train_iter_fn, val_iter_fn, max_epochs=None,
             log_fn=print, checkpoint_fn=None):
