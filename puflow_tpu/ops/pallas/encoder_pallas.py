@@ -65,7 +65,7 @@ def _tile_rows(a, k):
 
 
 def _encoder_kernel(xyz_ref, idx_ref, *refs, n: int, k: int,
-                    growths, odims, cdims):
+                    growths, odims):
     num_blocks = len(odims)
     weight_refs = refs[:-num_blocks]
     out_refs = refs[-num_blocks:]
@@ -171,7 +171,7 @@ def encoder_conditions_pallas(params, xyz: jax.Array, knn_idx: jax.Array,
     weights, (growths, odims, cdims) = _block_weights(params)
 
     kernel = functools.partial(_encoder_kernel, n=n, k=k, growths=growths,
-                               odims=odims, cdims=cdims)
+                               odims=odims)
     num_blocks = len(odims)
     # slot-major flatten: row s*n + p holds neighbour s of point p
     idx_sm = jnp.swapaxes(knn_idx.astype(jnp.int32), 1, 2).reshape(
@@ -218,8 +218,7 @@ def _leaky01(x):
     return jnp.where(x > 0, x, 0.01 * x)
 
 
-def _interp_kernel(xyz_ref, idx_ref, *refs, n: int, k: int, growths,
-                   feu_odim: int, r_max: int):
+def _interp_kernel(xyz_ref, idx_ref, *refs, n: int, k: int, growths):
     weight_refs = refs[:-1]
     out_ref = refs[-1]
     wi = 0
@@ -312,15 +311,14 @@ def interp_logits_pallas(interp_params, xyz: jax.Array, knn_idx: jax.Array,
     k = knn_idx.shape[-1]
     kc = interp_params["knn_context"]
     weights = _mlp3_weights(kc["distance_encoder"])
-    feu_w, growths, feu_odim = _feu_weights(kc["feat_conv"])
+    feu_w, growths, _feu_odim = _feu_weights(kc["feat_conv"])
     weights += feu_w
     weights += _mlp3_weights(interp_params["weight_unit"])
     r_max = interp_params["weight_unit"]["lin2"]["w"].shape[1]
 
     idx_sm = jnp.swapaxes(knn_idx.astype(jnp.int32), 1, 2).reshape(
         B, k * n, 1)
-    kernel = functools.partial(_interp_kernel, n=n, k=k, growths=growths,
-                               feu_odim=feu_odim, r_max=r_max)
+    kernel = functools.partial(_interp_kernel, n=n, k=k, growths=growths)
     w_specs = [
         pl.BlockSpec(w.shape, (lambda bb, nd=w.ndim: (0,) * nd),
                      memory_space=pltpu.VMEM)

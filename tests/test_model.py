@@ -89,3 +89,13 @@ def test_bn_folding_matches_eval_forward():
     a = discrete.sample(params, state, xyz, upratio=4)
     b = discrete.sample(folded, state, xyz, upratio=4)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_high_upratio_x16():
+    """r_max=32 head supports any ratio in [1, 32] (reference slices the
+    weight logits the same way, `interpflow.py:180`)."""
+    params, state = discrete.init(KEY)
+    xyz = jax.random.uniform(jax.random.PRNGKey(7), (1, 32, 3)) - 0.5
+    d = discrete.sample(params, state, xyz, upratio=16)
+    assert d.shape == (1, 512, 3)
+    assert np.isfinite(np.asarray(d)).all()
