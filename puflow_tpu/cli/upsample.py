@@ -36,6 +36,10 @@ def main(argv=None):
     parser.add_argument("--num_outlier", type=int, default=24)
     parser.add_argument("--model", choices=["discrete", "cnf"],
                         default="discrete")
+    parser.add_argument("--exact", action="store_true",
+                        help="bit-parity XLA path (no BN folding / fused "
+                             "kernels); ~2.8x slower, for strict reference "
+                             "comparisons")
     parser.add_argument("--batch", type=int, default=1,
                         help="clouds per device batch")
     args = parser.parse_args(argv)
@@ -50,7 +54,7 @@ def main(argv=None):
 
     rng = np.random.RandomState(args.seed)
     params, state, sample_fn = load_checkpoint(args.checkpoint, args.model,
-                                               fold=True)
+                                               fold=not args.exact)
     model_params = (jax.tree.map(jnp.asarray, params),
                     jax.tree.map(jnp.asarray, state))
 
