@@ -69,19 +69,10 @@ def knn_indices(
     """
     # NOTE: a fused Pallas self-kNN kernel exists
     # (`ops/pallas/knn_pallas.py`) but measured SLOWER than this XLA path at
-    # patch shapes — dispatch disabled; tests keep it correct.
+    # patch shapes (28ms vs 15ms for [256x256] K=16) — the iterative
+    # argmin sweeps don't beat the tuned top_k lowering. Dispatch disabled
+    # until the kernel wins; tests keep it correct.
     d = pairwise_sqdist(query, points)                      # [B, N, M]
-    if not return_dist and k <= 32 and jax.default_backend() not in ("cpu",):
-        # k masked-argmin sweeps beat the sort-based top_k lowering for
-        # small k on TPU (7.2ms vs 8.7ms at [256x256] k=16), identical
-        # results (first-argmin tie-breaking both ways)
-        cols = jnp.arange(d.shape[-1], dtype=jnp.int32)
-        idxs = []
-        for _ in range(k):
-            i = jnp.argmin(d, axis=-1).astype(jnp.int32)
-            idxs.append(i)
-            d = jnp.where(cols[None, None, :] == i[..., None], jnp.inf, d)
-        return jnp.stack(idxs, axis=-1)
     neg_d, idx = jax.lax.top_k(-d, k)                       # ascending distance
     if return_dist:
         return idx.astype(jnp.int32), -neg_d
