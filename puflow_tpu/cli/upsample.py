@@ -74,6 +74,19 @@ def main(argv=None):
 
     t_start = time.time()
     n_done = 0
+    pending = None  # (chunk, device_array): one-deep software pipeline
+
+    def drain(p):
+        # device->host transfer + file writes overlap the NEXT batch's
+        # device compute (the transfer waits for its own execution; the
+        # next batch is already queued on the in-order device stream)
+        nonlocal n_done
+        chunk, pred = p
+        pred = np.asarray(pred)
+        for (path, _), out in zip(chunk, pred):
+            save_xyz(Path(args.target) / os.path.basename(path), out)
+            n_done += 1
+
     for n, items in sorted(by_n.items()):
         npoint = (args.num_out or n * args.up_ratio) + args.num_outlier
         # batch same-size clouds through one jit call (pad the tail batch
@@ -93,10 +106,11 @@ def main(argv=None):
                 args.num_patch, 4.0)
             if args.num_outlier > 0:
                 pred = remove_outliers(pred, clouds, args.num_outlier)
-            pred = np.asarray(pred)
-            for (path, _), out in zip(chunk, pred):
-                save_xyz(Path(args.target) / os.path.basename(path), out)
-                n_done += 1
+            prev, pending = pending, (chunk, pred)
+            if prev is not None:
+                drain(prev)
+    if pending is not None:
+        drain(pending)
     dt = time.time() - t_start
     print(f"upsampled {n_done} clouds in {dt:.1f}s "
           f"({n_done / dt:.2f} clouds/s)")
