@@ -90,14 +90,19 @@ def test_upsample_cli(tmp_path):
     src = tmp_path / "in"
     dst = tmp_path / "out"
     src.mkdir()
-    pts = np.asarray(_sphere_cloud(jax.random.PRNGKey(9), 256)[0])
-    save_xyz(src / "cloud.xyz", pts)
+    # three clouds, two sizes: exercises the drain pipeline's
+    # chunk-to-chunk overlap within a size group AND the pending batch
+    # carried across the group boundary (256-group -> 320-group)
+    for name, n in [("a.xyz", 256), ("b.xyz", 256), ("c.xyz", 320)]:
+        pts = np.asarray(_sphere_cloud(jax.random.PRNGKey(9), n)[0])
+        save_xyz(src / name, pts)
 
     main(["--source", str(src), "--target", str(dst), "--checkpoint", CKPT,
           "--up_ratio", "4", "--seed", "1"])
-    out = load_xyz(str(dst / "cloud.xyz"))
-    assert out.shape == (1024, 3)
-    assert np.isfinite(out).all()
+    for name, n in [("a.xyz", 256), ("b.xyz", 256), ("c.xyz", 320)]:
+        out = load_xyz(str(dst / name))
+        assert out.shape == (n * 4, 3)
+        assert np.isfinite(out).all()
 
 
 def test_checkpoint_npz_roundtrip(tmp_path):
