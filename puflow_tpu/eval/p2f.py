@@ -23,12 +23,20 @@ def ensure_built() -> str:
     return P2F_BIN
 
 
-def run_p2f(mesh_off: str, pred_xyz: str, n_threads: int | None = None):
+def run_p2f(mesh_off: str, pred_xyz: str, n_threads: int | None = None,
+            uniform: bool = False, seed: int = 2021, samples: int = 1000):
     """Compute point-to-mesh distances; writes the side file, returns
-    (mean, std) parsed from the tool's stdout."""
+    (mean, std) parsed from the tool's stdout.
+
+    With ``uniform=True`` the tool also emits the disk-density side-files
+    (`_disk_idx.txt`, `_radius.txt`, `_point2mesh_distance.txt`) that the
+    uniformity metric consumes — the reference's equivalent code path is
+    dead (`evaluation.cpp:74-114` never called from its main)."""
     cmd = [ensure_built(), mesh_off, pred_xyz]
     if n_threads:
         cmd.append(str(n_threads))
+    if uniform:
+        cmd += ["--uniform", "--seed", str(seed), "--samples", str(samples)]
     out = subprocess.run(cmd, check=True, capture_output=True,
                          text=True).stdout
     vals = {}

@@ -31,13 +31,15 @@ def _nn_distance_excl_self(points: np.ndarray) -> np.ndarray:
 
 def analyze_uniform(idx_file: str, radius_file: str,
                     map_points_file: str,
-                    sample_number: int = 1000) -> np.ndarray:
+                    sample_number: int | None = None) -> np.ndarray:
     points = np.loadtxt(map_points_file)[:, 4:]
     radius = np.atleast_1d(np.loadtxt(radius_file))
     with open(idx_file) as f:
         lines = f.readlines()
 
     rad_number = radius.shape[0]
+    if sample_number is None:  # infer from the side-file (reference: 1000)
+        sample_number = len(lines) // rad_number
     measure = np.zeros([rad_number, 1])
     expect_number = (PERCENTAGES[:rad_number] * points.shape[0]).reshape(
         rad_number, 1)

@@ -18,7 +18,7 @@ for pred in "$PRED_DIR"/*.xyz; do
     name=$(basename "$pred" .xyz)
     mesh="$MESH_DIR/$name.off"
     if [[ -f "$mesh" ]]; then
-        "$ROOT/native/p2f/p2f" "$mesh" "$pred"
+        "$ROOT/native/p2f/p2f" "$mesh" "$pred" --uniform
     else
         echo "warn: no mesh for $name, skipping p2f" >&2
     fi
