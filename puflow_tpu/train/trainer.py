@@ -152,10 +152,20 @@ class Trainer:
                 self._bad_epochs = 0
 
     def _set_lr(self):
-        # inject_hyperparams exposes the lr inside opt_state; index 1 is the
-        # adam stage of the chain.
-        self.opt_state[1].hyperparams["learning_rate"] = jnp.asarray(
-            self._lr, dtype=jnp.float32)
+        # inject_hyperparams exposes the lr inside opt_state. Locate its
+        # state by the `hyperparams` attribute rather than a chain index so
+        # an optax layout change fails loudly instead of silently freezing
+        # the schedule.
+        found = 0
+        for stage in self.opt_state:
+            hp = getattr(stage, "hyperparams", None)
+            if isinstance(hp, dict) and "learning_rate" in hp:
+                hp["learning_rate"] = jnp.asarray(self._lr, dtype=jnp.float32)
+                found += 1
+        if found != 1:
+            raise RuntimeError(
+                f"expected exactly one inject_hyperparams learning_rate in "
+                f"opt_state, found {found} — optax layout changed?")
 
     def train_epoch(self, batches) -> dict:
         """batches: iterable of (sparse [B,N,3], dense [B,N*r,3]) numpy.

@@ -19,3 +19,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: the jitted train step takes minutes to
+# compile on CPU; caching executables on disk makes repeat suite runs cheap
+# (the cache key covers HLO + jaxlib/backend versions, so edits that change
+# the computation recompile as usual).
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/puflow_tpu_jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -78,6 +78,32 @@ def test_plateau_reduces_lr():
     assert trainer._lr == trainer.cfg.min_lr
 
 
+def test_set_lr_takes_effect():
+    """The plateau LR must actually reach the Adam stage inside opt_state.
+
+    Guards against optax layout changes silently freezing the schedule
+    (`Trainer._set_lr` locates the inject_hyperparams state by attribute).
+    """
+    trainer = _small_trainer()
+    rng = np.random.RandomState(7)
+    sparse, dense = synthetic_pairs(rng, 8, 32, 4)
+
+    trainer._lr = 0.0
+    p_before = jax.tree.map(np.asarray, trainer.params)
+    m = trainer.train_epoch([(sparse, dense)])
+    assert m["nan_step"] == 0.0
+    p_frozen = jax.tree.map(np.asarray, trainer.params)
+    for a, b in zip(jax.tree.leaves(p_before), jax.tree.leaves(p_frozen)):
+        np.testing.assert_array_equal(a, b)
+
+    trainer._lr = 1e-3
+    trainer.train_epoch([(sparse, dense)])
+    p_moved = jax.tree.map(np.asarray, trainer.params)
+    assert any(
+        not np.array_equal(a, b)
+        for a, b in zip(jax.tree.leaves(p_frozen), jax.tree.leaves(p_moved)))
+
+
 def test_nan_guard_skips_update():
     trainer = _small_trainer()
     rng = np.random.RandomState(2)
