@@ -28,6 +28,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Raise the kernel's declared VMEM limit: with the default 16 MiB scoped
+# limit, XLA may hoist a custom-call output that is exactly ~16 MiB (e.g.
+# a [128, 256, 128] f32 condition tensor at 128 patches) onto the scoped
+# VMEM stack and fail allocation by the padding overhead.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
 _SLOPE = 0.05  # FeatureExtractUnit LeakyReLU
 
 
@@ -203,6 +209,7 @@ def encoder_conditions_pallas(params, xyz: jax.Array, knn_idx: jax.Array,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(xyz.astype(jnp.float32), idx_sm, *weights)
     return list(cs)
 
@@ -337,6 +344,7 @@ def interp_logits_pallas(interp_params, xyz: jax.Array, knn_idx: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, k * n, r_max), jnp.float32),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(xyz.astype(jnp.float32), idx_sm, *weights)
     # slot-major [B, k*n, R] -> [B, n, k, R]
     return jnp.swapaxes(out.reshape(B, k, n, r_max), 1, 2)

@@ -21,6 +21,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Raise the kernel's declared VMEM limit: with the default 16 MiB scoped
+# limit, XLA may hoist a custom-call output that is exactly ~16 MiB (e.g.
+# a [128, 256, 128] f32 condition tensor at 128 patches) onto the scoped
+# VMEM stack and fail allocation by the padding overhead.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
 _SLOPE = 0.01  # LinearA1D LeakyReLU
 
 
@@ -144,5 +150,6 @@ def flow_g_pallas(flow_blocks, z: jax.Array, cs_rep,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, m, 3), jnp.float32),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(z.astype(jnp.float32), *cs_in, *weights)
     return out
