@@ -10,10 +10,15 @@ Prints ONE JSON line:
   {"metric": "patches_per_sec_per_chip", "value": N, "unit": "patches/s",
    "vs_baseline": N}
 
-vs_baseline normalises against an estimated PyTorch-A100 reference
-throughput of 1000 patches/s for the same pipeline (the reference repo
-publishes no numbers — BASELINE.md; the target from BASELINE.json is >=10x,
-i.e. vs_baseline >= 10).
+vs_baseline normalises against a DERIVED PyTorch-A100 reference envelope of
+1000 patches/s: the reference model costs 4.589e9 FLOPs per patch (torch
+profiler, `scripts/baseline_denominator.py`), so A100 fp32 peak (19.5 TF/s)
+at an optimistic 25% MFU bounds the model-only throughput at ~1060
+patches/s; the full pipeline can only be slower. Same-silicon cross-check:
+our model forward is 4.05x the reference's on one CPU core (identical
+hardware, identical checkpoint). Full derivation + sensitivity (TF32,
+launch-bound small convs): BASELINE.md "Grounding the A100 denominator".
+The target from BASELINE.json is >=10x, i.e. vs_baseline >= 10.
 """
 
 from __future__ import annotations
@@ -22,7 +27,7 @@ import json
 import os
 import time
 
-ASSUMED_A100_PATCHES_PER_SEC = 1000.0
+ASSUMED_A100_PATCHES_PER_SEC = 1000.0  # derived envelope: see module docstring + BASELINE.md
 CKPT = "/root/reference/pretrain/puflow-x4-pu1k.pt"
 
 
