@@ -290,7 +290,7 @@ def forward(params, state, xyz, upratio: int, train: bool = False,
 
     fz, interp_s = interpolation_apply(
         params["interp"], state["interp"], z, xyz, upratio, train,
-        dtype=dtype)
+        dtype=dtype, knn_idx=knn_idx)  # sorted K=16 -> first 8 cols
     x = g_transform(params, fz, cs, upratio, differentiable=train)
     new_state = {"interp": interp_s, "feat_convs": feat_s}
     return x, logp_x, new_state

@@ -236,7 +236,8 @@ def forward(params, state, xyz, upratio: int, train: bool = False,
     z, logp_x = log_prob(params, xyz, cs)
     fz, interp_s = interpolation_apply(
         params["interp"], state["interp"], z, xyz, upratio, train,
-        dtype=dtype if interp_dtype == "same" else interp_dtype)
+        dtype=dtype if interp_dtype == "same" else interp_dtype,
+        knn_idx=knn_idx)  # K=16 sorted -> first 8 cols ARE the K=8 graph
     x = g_transform(params, fz, cs, upratio, fast=not train)
     new_state = {"interp": interp_s, "feat_convs": feat_s}
     return x, logp_x, new_state

@@ -265,18 +265,28 @@ def interpolation_init(key, pc_channel: int = 3):
 
 
 def interpolation_apply(params, state, z, xyz, upratio: int, train: bool,
-                        dtype=None):
+                        dtype=None, knn_idx=None):
     """Blend each point's k-NN latents into `upratio` new latents.
 
     z: [B, N, C] latents; xyz: [B, N, 3] input geometry (defines the graph).
     Returns [B, N, C, upratio] — reference `InterpolationModule.forward`
     (`:173-186`).
+
+    `knn_idx` may supply a precomputed neighbour list with K >= INTERP_K
+    whose slots are sorted by ascending distance (our `knn_indices`
+    convention): its first INTERP_K columns are then exactly the K=8 graph,
+    so the caller's K=16 encoder graph is reused instead of recomputing the
+    pairwise distances + top-k.
     """
     if not 1 <= upratio <= R_MAX:
         raise ValueError(
             f"upratio={upratio} out of range [1, {R_MAX}]: the weight head "
             f"emits at most R_MAX={R_MAX} interpolation rows per point")
-    knn_idx = knn_indices(xyz, xyz, INTERP_K)
+    if knn_idx is None:
+        knn_idx = knn_indices(xyz, xyz, INTERP_K)
+    else:
+        assert knn_idx.shape[-1] >= INTERP_K
+        knn_idx = knn_idx[..., :INTERP_K]
     gather_fn = make_neighbor_gather(knn_idx, xyz.shape[1], dtype)
     folded = "bn0" not in params["weight_unit"]
     if (folded and not train and jax.default_backend() not in ("cpu",)

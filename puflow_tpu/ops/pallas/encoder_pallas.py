@@ -38,7 +38,8 @@ _SLOPE = 0.05  # FeatureExtractUnit LeakyReLU
 
 
 def _leaky(x):
-    return jnp.where(x > 0, x, _SLOPE * x)
+    # == where(x > 0, x, s*x) for 0 < s < 1, one fewer VPU pass
+    return jnp.maximum(x, _SLOPE * x)
 
 
 def _f32_dot(a, b):
@@ -222,7 +223,7 @@ def encoder_conditions_pallas(params, xyz: jax.Array, knn_idx: jax.Array,
 # VMEM and only the [n*k, R_MAX] logits leave the kernel.
 # ---------------------------------------------------------------------------
 def _leaky01(x):
-    return jnp.where(x > 0, x, 0.01 * x)
+    return jnp.maximum(x, 0.01 * x)
 
 
 def _interp_kernel(xyz_ref, idx_ref, *refs, n: int, k: int, growths):
