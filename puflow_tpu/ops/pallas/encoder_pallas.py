@@ -99,15 +99,19 @@ def _encoder_kernel(xyz_ref, idx_ref, *refs, n: int, k: int,
         w_self = take()                                    # [C, Gt]
         w_nbr = take()                                     # [C, Gt]
 
-        p_self = _tile_rows(_f32_dot(x, w_self), k)        # [k*n, Gt]
+        p_self = _f32_dot(x, w_self)                       # [n, Gt]
         p_nbr = _onehot_dot(onehot, _f32_dot(x, w_nbr))    # [k*n, Gt]
+        gt = p_nbr.shape[1]
+        # fold the self term in with ONE slot-broadcast add (slot-major
+        # rows: leading-dim reshape is free) instead of materialising a
+        # k-tiled copy of p_self and adding two operands per layer slice
+        p = (p_nbr.reshape(k, n, gt) + p_self[None]).reshape(k * n, gt)
 
         offset = 0
         h_cat = None
         for j in range(n_layers):
             g = growths[b][j]
-            h = (p_self[:, offset:offset + g] + p_nbr[:, offset:offset + g]
-                 + take())                                 # bias [1, G_j]
+            h = p[:, offset:offset + g] + take()           # bias [1, G_j]
             if j > 0:
                 h = h + _f32_dot(h_cat, take())            # [P_j, G_j]
             h = _leaky(h)
@@ -115,13 +119,10 @@ def _encoder_kernel(xyz_ref, idx_ref, *refs, n: int, k: int,
                                                             axis=1)
             offset += g
 
-        f = (p_self[:, offset:] + p_nbr[:, offset:] + take())  # out bias
+        f = p[:, offset:] + take()                         # out bias
         f = f + _f32_dot(h_cat, take())                    # conv_out h part
-        # K-pool over slot-major rows: max of k static [n, odim] slices
-        pooled = f[0:n, :]
-        for sl in range(1, k):
-            pooled = jnp.maximum(pooled, f[sl * n:(sl + 1) * n, :])
-        f = pooled                                         # [n, odim]
+        # K-pool over slot-major rows
+        f = jnp.max(f.reshape(k, n, odims[b]), axis=0)     # [n, odim]
 
         wm1, bm1, wm2 = take(), take(), take()
         m = jnp.maximum(_f32_dot(f, wm1) + bm1, 0.0)
@@ -256,21 +257,22 @@ def _interp_kernel(xyz_ref, idx_ref, *refs, n: int, k: int, growths):
 
     # --- context EdgeConv (no pooling), slope 0.05 ----------------------
     w_self, w_nbr = take(), take()
-    p_self = _tile_rows(_f32_dot(x, w_self), k)
-    p_nbr = _onehot_dot(onehot, _f32_dot(x, w_nbr))
+    p_self = _f32_dot(x, w_self)                           # [n, Gt]
+    p_nbr = _onehot_dot(onehot, _f32_dot(x, w_nbr))        # [k*n, Gt]
+    gt = p_nbr.shape[1]
+    p = (p_nbr.reshape(k, n, gt) + p_self[None]).reshape(k * n, gt)
     offset = 0
     h_cat = None
     for j in range(len(growths)):
         g = growths[j]
-        hh = p_self[:, offset:offset + g] + p_nbr[:, offset:offset + g] \
-            + take()
+        hh = p[:, offset:offset + g] + take()
         if j > 0:
             hh = hh + _f32_dot(h_cat, take())
         hh = _leaky(hh)
         h_cat = hh if h_cat is None else jnp.concatenate([h_cat, hh],
                                                          axis=1)
         offset += g
-    feu = p_self[:, offset:] + p_nbr[:, offset:] + take()
+    feu = p[:, offset:] + take()
     feu = feu + _f32_dot(h_cat, take())                    # [k*n, odim]
 
     ctx = jnp.concatenate([de_out, feu], axis=1)           # [k*n, 256]

@@ -154,19 +154,3 @@ class TestEmdPallas:
                                    atol=1e-5)
 
 
-class TestKnnPallas:
-    def test_matches_xla(self):
-        from puflow_tpu.ops.pallas.knn_pallas import knn_self_pallas
-
-        x = jax.random.normal(jax.random.PRNGKey(9), (4, 256, 3))
-        ref = np.asarray(knn_indices(x, x, 16))
-        got = np.asarray(knn_self_pallas(x, 16, interpret=True))
-        np.testing.assert_array_equal(ref, got)
-
-    def test_odd_batch_and_k(self):
-        from puflow_tpu.ops.pallas.knn_pallas import knn_self_pallas
-
-        x = jax.random.normal(jax.random.PRNGKey(10), (3, 100, 3))
-        ref = np.asarray(knn_indices(x, x, 8))
-        got = np.asarray(knn_self_pallas(x, 8, interpret=True))
-        np.testing.assert_array_equal(ref, got)
