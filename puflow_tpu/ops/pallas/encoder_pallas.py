@@ -42,17 +42,43 @@ def _leaky(x):
     return jnp.maximum(x, _SLOPE * x)
 
 
-def _f32_dot(a, b):
-    # Mosaic handles f32 dots natively; pin DEFAULT so the global 'highest'
-    # policy doesn't reach in-kernel lowering
-    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+def _bf16_dot(a_bf16, b_bf16):
+    # explicit DEFAULT precision: the global 'highest' matmul policy would
+    # otherwise reach the bf16 dot and break Mosaic lowering
+    return jax.lax.dot_general(a_bf16, b_bf16, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32,
                                precision=jax.lax.Precision.DEFAULT)
 
 
+def _split_hi_lo(x_f32):
+    hi = x_f32.astype(jnp.bfloat16)
+    lo = (x_f32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _f32_dot(a, b):
+    """f32 matmul as the exact 3-pass bf16 decomposition.
+
+    Mosaic lowers a DEFAULT-precision f32 dot as a SINGLE bf16 pass, which
+    cost the fused encoder ~6% relative error by block 5 (measured: the
+    fixture-protocol CD inflated 0.0028 -> 0.0031+ vs the exact XLA path).
+    hi*hi + hi*lo + lo*hi recovers ~2^-22 relative error for ~2x the MXU
+    passes of bf16 — and the MACs here are 16% of the kernel's total, the
+    one-hot gathers (already exact) carry the rest.
+    """
+    a_hi, a_lo = _split_hi_lo(a)
+    b_hi, b_lo = _split_hi_lo(b)
+    return (_bf16_dot(a_hi, b_hi) + _bf16_dot(a_hi, b_lo)
+            + _bf16_dot(a_lo, b_hi))
+
+
 def _onehot_dot(onehot_bf16, b_f32):
-    """Exact gather: one-hot [p, q] bf16 x values [q, r] f32 -> [p, r] f32
-    via the hi/lo split (two single-pass MXU matmuls)."""
+    """Gather to ~2^-16: one-hot [p, q] bf16 x values [q, r] f32 -> [p, r]
+    via the hi/lo split (two single-pass MXU matmuls). A bit-exact 3-term
+    split (full 24-bit mantissa) was measured to change the fused encoder's
+    deviation-vs-XLA by <0.1% while costing +19% kernel time — the
+    deviation is dominated by 3-pass matmul rounding amplified through the
+    condition pyramid, not by the gather."""
     hi = b_f32.astype(jnp.bfloat16)
     lo = (b_f32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
 

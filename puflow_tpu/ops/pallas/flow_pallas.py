@@ -42,9 +42,20 @@ def _lrelu(x):
 
 
 def _dot(a, b):
-    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.DEFAULT)
+    """f32 matmul as the exact 3-pass bf16 decomposition (Mosaic lowers a
+    DEFAULT-precision f32 dot as a single bf16 pass — see
+    encoder_pallas._f32_dot for the measured quality cost)."""
+    def bf16_dot(x, y):
+        return jax.lax.dot_general(x, y, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.DEFAULT)
+
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (bf16_dot(a_hi, b_hi) + bf16_dot(a_hi, b_lo)
+            + bf16_dot(a_lo, b_hi))
 
 
 def _flow_g_kernel(z_ref, *refs, num_blocks: int, splits):

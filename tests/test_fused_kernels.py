@@ -41,8 +41,11 @@ def test_encoder_kernel_matches_xla(folded):
     cs_k = encoder_conditions_pallas(params, x, idx, True)
     for i, (a, b) in enumerate(zip(cs_ref, cs_k)):
         err = np.abs(np.asarray(a) - np.asarray(b)).max()
-        # fp-reassociation noise compounds through the recursive pyramid
-        assert err < 5e-3, f"block {i}: {err}"
+        # the kernel's 3-pass bf16 matmul decomposition (~2^-22 relative
+        # per product) compounds through the recursive pyramid: gate the
+        # RELATIVE error (activation scale grows ~500x by block 5)
+        scale = np.abs(np.asarray(a)).max()
+        assert err < 5e-5 * scale + 1e-4, f"block {i}: {err} (scale {scale})"
 
 
 def test_interp_kernel_matches_xla(folded):
