@@ -90,3 +90,43 @@ def test_evaluate_cli_end_to_end(tmp_path):
     assert len(csv_text.splitlines()) == 4  # header + 2 files + aggregate
     assert row["CD"] < 1e-3   # near-identical clouds
     assert row["EMD"] < 0.05
+
+
+def test_evaluate_cli_populates_uniformity(tmp_path):
+    """With the p2f --uniform side-files present, the uniform_0..4 columns
+    fill in (reference `evaluate.py:256-262` — its own tooling never
+    produced the files; ours does)."""
+    import os
+    import sys
+
+    from puflow_tpu.cli.evaluate import main
+    from puflow_tpu.eval.p2f import run_p2f
+    from puflow_tpu.utils.io import save_xyz
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from make_fixtures import icosphere, save_off
+
+    verts, faces = icosphere(3)
+    mesh = tmp_path / "s.off"
+    save_off(str(mesh), verts, faces)
+    gt_dir, pred_dir, out_dir = (tmp_path / d for d in
+                                 ("gt", "pred", "out"))
+    gt_dir.mkdir()
+    pred_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for d in (gt_dir, pred_dir):
+        pts = rng.normal(size=(512, 3)).astype(np.float32)
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        save_xyz(d / "s.xyz", pts)
+    run_p2f(str(mesh), str(pred_dir / "s.xyz"), uniform=True, seed=3,
+            samples=100)
+
+    row = main(["--pred", str(pred_dir), "--gt", str(gt_dir),
+                "--save_path", str(out_dir)])
+    header = (out_dir / "evaluation.csv").read_text().splitlines()[0]
+    assert "uniform_4" in header
+    for i in range(5):
+        v = row[f"uniform_{i}"]
+        assert np.isfinite(v) and v > 0, (i, v)
+    assert np.isfinite(row["p2f avg"])
