@@ -22,6 +22,7 @@ TPU-first design:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Callable
 
@@ -103,6 +104,40 @@ def eval_step(params, bn_state, sparse, dense, upratio: int,
     return {"vloss": logpx, "CD": cd}
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_steps_cached(cfg: TrainConfig, forward_fn, mesh_key):
+    mesh = _MESH_BY_KEY[mesh_key]
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    optimizer = make_optimizer(cfg)
+    train = jax.jit(
+        make_train_step(optimizer, cfg, forward_fn),
+        in_shardings=(rep, rep, rep, bsh, bsh),
+        out_shardings=(rep, rep, rep, rep),
+        donate_argnums=(0, 1, 2),
+    )
+    ev = jax.jit(
+        lambda p, s, a, b: eval_step(p, s, a, b, cfg.upratio, forward_fn),
+        in_shardings=(rep, rep, bsh, bsh), out_shardings=rep)
+    return train, ev
+
+
+_MESH_BY_KEY: dict = {}
+
+
+def _jitted_steps(cfg: TrainConfig, forward_fn, mesh):
+    """Shared jitted train/eval steps.
+
+    Two Trainers with equal (cfg, forward_fn, mesh devices) reuse ONE pair
+    of jit wrappers, so re-tracing (~10 s for the full train graph on this
+    host) and recompiling happen once per process instead of once per
+    Trainer — checkpoints/optimizer states stay interchangeable because
+    `make_optimizer(cfg)` is deterministic in cfg."""
+    mesh_key = (tuple(d.id for d in mesh.devices.flat), mesh.axis_names)
+    _MESH_BY_KEY.setdefault(mesh_key, mesh)
+    return _jitted_steps_cached(cfg, forward_fn, mesh_key)
+
+
 class Trainer:
     """Host-side orchestration: sharding, epochs, plateau LR, checkpoints."""
 
@@ -122,16 +157,8 @@ class Trainer:
             jax.tree.map(lambda x: np.array(x), bn_state), rep)
         self.opt_state = jax.device_put(self.optimizer.init(self.params), rep)
 
-        step = make_train_step(self.optimizer, cfg, forward_fn)
-        self._train_step = jax.jit(
-            step,
-            in_shardings=(rep, rep, rep, bsh, bsh),
-            out_shardings=(rep, rep, rep, rep),
-            donate_argnums=(0, 1, 2),
-        )
-        self._eval_step = jax.jit(
-            lambda p, s, a, b: eval_step(p, s, a, b, cfg.upratio, forward_fn),
-            in_shardings=(rep, rep, bsh, bsh), out_shardings=rep)
+        self._train_step, self._eval_step = _jitted_steps(
+            cfg, forward_fn, self.mesh)
 
         # ReduceLROnPlateau state (reference `train_pu1k.py:50`)
         self._lr = cfg.learning_rate

@@ -142,7 +142,7 @@ def test_cd_weight_changes_loss():
     for cd_w in (0.0, 1e-1):
         cfg = TrainConfig(emd_iters=5, cd_weight=cd_w)
         opt = make_optimizer(cfg)
-        step = make_train_step(opt, cfg)
+        step = jax.jit(make_train_step(opt, cfg))  # unjitted = minutes
         _, _, _, m = step(params, state, opt.init(params),
                           jnp.asarray(sparse), jnp.asarray(dense))
         losses[cd_w] = float(m["loss"])
