@@ -24,6 +24,8 @@ Design deviations (better on TPU, same semantics):
 
 from __future__ import annotations
 
+import functools
+
 import math
 
 import jax
@@ -230,6 +232,7 @@ def count_nfe(params, x, cs):
 # --------------------------------------------------------------------------
 # Full model (encoder topology shared with the discrete family)
 # --------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnums=(1,))
 def init(key, spec: ModelSpec = ModelSpec()):
     keys = jax.random.split(key, 3 * spec.num_blocks + 1)
     interp_p, interp_s = interpolation_init(keys[0], spec.pc_channel)

@@ -19,6 +19,8 @@ mesh (see `puflow_tpu.parallel`). Log-det/exp paths stay float32.
 
 from __future__ import annotations
 
+import functools
+
 from typing import NamedTuple
 
 import jax
@@ -121,6 +123,7 @@ def flow_block_inverse(params: dict, z: jax.Array, c: jax.Array,
 # --------------------------------------------------------------------------
 # Full model
 # --------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnums=(1,))
 def init(key, spec: ModelSpec = ModelSpec()):
     """Initialise (params, state). State holds BatchNorm running stats."""
     keys = jax.random.split(key, 3 * spec.num_blocks + 1)
