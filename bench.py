@@ -84,7 +84,7 @@ def main():
     # Best-of-3 windows guards against one-off tunnel/host hiccups.
     iters = 5
     dt = float("inf")
-    for _ in range(3):
+    for _ in range(5):  # best-of-5 windows: tunnel hiccups cost ~10% per run
         t0 = time.time()
         outs = [run(pts) for _ in range(iters)]
         np.asarray(outs[-1])
