@@ -80,10 +80,12 @@ def _fps_kernel(xs_ref, ys_ref, zs_ref, out_ref, mind_ref, *, n_valid: int,
 
 # Mosaic's scoped-VMEM stack holds the 3 coordinate planes, the min-dist
 # scratch, the lane iota and ~5 loop temporaries (dx/dy/dz/d/mind) — about
-# 10 [B, N] f32 planes total against the 16 MB scoped limit (measured:
-# [8, 40960] allocates ~13 MB).
-_VMEM_BUDGET = 14 * 1024 * 1024
+# 10 [B, N] f32 planes total. The kernel declares a 56 MB VMEM limit
+# (v5e physical VMEM is 128 MB) so the batched path covers B=32 merge
+# batches; beyond that the per-cloud grid variant takes over.
+_VMEM_BUDGET = 56 * 1024 * 1024
 _PLANES = 10
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -110,6 +112,7 @@ def farthest_point_sample_pallas(xyz: jax.Array, n_samples: int) -> jax.Array:
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((B, mp_), jnp.int32),
             scratch_shapes=[pltpu.VMEM((B, np_), jnp.float32)],
+            compiler_params=_COMPILER_PARAMS,
         )(xs, ys, zs)
         return out[:, :n_samples]
 
@@ -125,5 +128,6 @@ def farthest_point_sample_pallas(xyz: jax.Array, n_samples: int) -> jax.Array:
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 1, mp_), jnp.int32),
         scratch_shapes=[pltpu.VMEM((1, np_), jnp.float32)],
+        compiler_params=_COMPILER_PARAMS,
     )(xs[:, None], ys[:, None], zs[:, None])
     return out[:, 0, :n_samples]
