@@ -139,6 +139,33 @@ def test_latents_parity(reference_net, jax_model):
                                rtol=1e-3, atol=0.5)
 
 
+@pytest.mark.parametrize("name", ["puflow-x4-pugeo.pt",
+                                  "puflow-x4-pugan.pt"])
+def test_forward_parity_other_checkpoints(reference_net, name):
+    """The pugeo/pugan shipped checkpoints convert and match too (same
+    architecture, different training runs — exercises different weight
+    statistics through the converter)."""
+    import jax.numpy as jnp
+
+    from puflow_tpu.convert.torch_ckpt import load_discrete_checkpoint
+    from puflow_tpu.models import discrete
+
+    path = os.path.join(REFERENCE, "pretrain", name)
+    net = type(reference_net)(pc_channel=3)
+    net.load_state_dict(torch.load(path, map_location="cpu"))
+    net.set_to_initialized_state()
+    net.eval()
+
+    pts = _patch_input(seed=2)
+    with torch.no_grad():
+        dense_t, _ = net(torch.from_numpy(pts), upratio=4)
+    params, state = load_discrete_checkpoint(path)
+    dense_j, _, _ = discrete.forward(params, state, jnp.asarray(pts),
+                                     upratio=4, train=False)
+    err = np.abs(np.asarray(dense_j) - dense_t.numpy()).max()
+    assert err < 2e-3, f"{name}: max coordinate deviation {err}"
+
+
 def test_wrong_family_checkpoint_raises_clearly():
     from puflow_tpu.convert.torch_ckpt import (
         load_cnf_checkpoint,
