@@ -202,13 +202,14 @@ def g_transform(params, z, cs, upratio: int, fast: bool = False):
     training path keeps the XLA formulation.
     """
     B, N, C, r = z.shape
-    z = jnp.swapaxes(z, 2, 3).reshape(B, N * r, C)
     if (fast and jax.default_backend() not in ("cpu",)
             and N * r <= 4096):
         from puflow_tpu.ops.pallas.flow_pallas import flow_g_pallas
 
-        cs_rep = [jnp.repeat(c, upratio, axis=1) for c in cs]
-        return flow_g_pallas(params["flow_blocks"], z, cs_rep)
+        # the kernel repeats the conditions internally (slot-major lane
+        # tiling) and returns point-major rows
+        return flow_g_pallas(params["flow_blocks"], z, cs)
+    z = jnp.swapaxes(z, 2, 3).reshape(B, N * r, C)
     for i in reversed(range(len(params["flow_blocks"]))):
         c = jnp.repeat(cs[i], upratio, axis=1)
         z = flow_block_inverse(params["flow_blocks"][i], z, c,

@@ -1,21 +1,28 @@
-"""Fused inverse flow (g) as one Pallas kernel, in channel-major layout.
+"""Fused inverse flow (g) as one Pallas kernel, channel-major + slot-major.
 
 The discrete model's inverse pass (`models/discrete.g_transform`) chains 6
 blocks of [affine injector^-1 -> reverse permute -> additive coupling^-1 ->
-inv1x1^-1 -> ActNorm^-1], each block driving three small condition MLPs over
-[B, N*r, <=128]-shaped tensors — ~17 ms of XLA op/traffic overhead for
-~13 GFLOP of actual work at 256 patches.
+inv1x1^-1 -> ActNorm^-1], each block driving three small condition MLPs
+over [B, N*r, <=128]-shaped tensors.
 
-Layout: the flow state is only 3 channels wide. Point-major [m, 3] tensors
-use 3 of 128 lanes for every elementwise op and pad each MLP's 3-channel
-output projection N->128 on the MXU. Here everything runs CHANNEL-MAJOR
-([3, m], [64, m], [cdim, m]): elementwise flow math fills all lanes, the
-MLP out-projections become [3, 64] x [64, m] (M=3 streams, no N padding),
-and the K<=2 coupling-input projections become VPU broadcast outer
-products instead of K=1 MXU passes.
+Layout choices (all exact, no approximation):
 
-Same math as the XLA path (f32; deviations are matmul pass decomposition
-and reduction order only).
+* CHANNEL-MAJOR: the flow state is 3 channels wide; [3, m] / [64, m] /
+  [cdim, m] tensors fill all 128 lanes for elementwise work, MLP
+  out-projections become [3, 64] x [64, m] (no N->128 padding), and K<=2
+  coupling-input projections are VPU broadcast outer products.
+* SLOT-MAJOR rows: the m = N*r rows are ordered as r whole copies of the
+  N points (slot-major) instead of r consecutive samples per point. Every
+  kernel op is row-independent, so the ordering is free — and it turns
+  "repeat the conditions x r" into `pltpu.repeat` (lane tiling) INSIDE the
+  kernel. Conditions stream in un-repeated ([cdim, N], 4x less HBM and
+  VMEM at r=4), and the injector MLPs — whose input is ONLY the condition
+  — run entirely on the N unique columns before their [3, N] outputs are
+  tiled, cutting ~2/3 of the kernel's matmul work at r=4.
+
+f32 matmuls use the exact-to-~6e-6 3-pass bf16 decomposition (Mosaic
+lowers a DEFAULT-precision f32 dot as a single bf16 pass — see
+encoder_pallas._f32_dot for the measured quality cost).
 """
 
 from __future__ import annotations
@@ -28,9 +35,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Raise the kernel's declared VMEM limit: with the default 16 MiB scoped
-# limit, XLA may hoist a custom-call output that is exactly ~16 MiB (e.g.
-# a [128, 256, 128] f32 condition tensor at 128 patches) onto the scoped
-# VMEM stack and fail allocation by the padding overhead.
+# limit, XLA may hoist a custom-call output that is exactly ~16 MiB onto
+# the scoped VMEM stack and fail allocation by the padding overhead.
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 _SLOPE = 0.01  # LinearA1D LeakyReLU
@@ -42,9 +48,7 @@ def _lrelu(x):
 
 
 def _dot(a, b):
-    """f32 matmul as the exact 3-pass bf16 decomposition (Mosaic lowers a
-    DEFAULT-precision f32 dot as a single bf16 pass — see
-    encoder_pallas._f32_dot for the measured quality cost)."""
+    """f32 matmul as the exact 3-pass bf16 decomposition."""
     def bf16_dot(x, y):
         return jax.lax.dot_general(x, y, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32,
@@ -58,13 +62,9 @@ def _dot(a, b):
             + bf16_dot(a_lo, b_hi))
 
 
-def _flow_g_kernel(z_ref, *refs, num_blocks: int, splits):
-    """refs: cs inputs (num_blocks, channel-major), weight refs, out ref.
-
-    All activations are channel-major: state z [3, m], conditions
-    [cdim, m], MLP hiddens [64, m]. Weights are stored transposed
-    ([out, in]) so every matmul is W @ h.
-    """
+def _flow_g_kernel(z_ref, *refs, num_blocks: int, splits, r: int):
+    """refs: un-repeated cs inputs (num_blocks, channel-major [cdim, n]),
+    weight refs, out ref. State z is slot-major [3, m], m = n * r."""
     cs_refs = refs[:num_blocks]
     weight_refs = refs[num_blocks:-1]
     out_ref = refs[-1]
@@ -72,43 +72,47 @@ def _flow_g_kernel(z_ref, *refs, num_blocks: int, splits):
 
     def take():
         nonlocal wi
-        r = weight_refs[wi][...]
+        w = weight_refs[wi][...]
         wi += 1
-        return r
+        return w
 
-    def mlp(h_first, c, w0_h, w0_c, w1, b1, w2, b2):
-        """LinearA1D on [h_first | c] without the concat (channel-major).
+    def rep(x):
+        # slot-major repeat of [C, n] -> [C, m]: whole-array lane tiling
+        return pltpu.repeat(x, r, 1) if r > 1 else x
 
-        w0_h is [64, split]: the split<=2 coupling half enters as VPU
-        broadcast outer products, never as a K<=2 MXU contraction.
-        """
-        h = _dot(w0_c, c)                                  # [64, m]
-        if h_first is not None:
-            for j in range(h_first.shape[0]):
-                h = h + w0_h[:, j:j + 1] * h_first[j:j + 1, :]
-        h = _lrelu(h)
+    def mlp_cond(c, w0, w1, b1, w2, b2):
+        """Condition-only MLP evaluated on the n UNIQUE columns; the
+        caller tiles the [3, n] result (injector scale/bias nets)."""
+        h = _lrelu(_dot(w0, c))
         h = _lrelu(_dot(w1, h) + b1)
-        return _dot(w2, h) + b2                            # [3, m]
+        return _dot(w2, h) + b2
 
     z = z_ref[0]                                           # [3, m]
     for b in range(num_blocks):                            # reversed outside
-        c = cs_refs[b][0]                                  # [cdim, m]
+        c = cs_refs[b][0]                                  # [cdim, n]
         split = splits[b]
 
-        # affine injector inverse: z = z * exp(scale) + bias
-        s_w0c, s_w1, s_b1, s_w2, s_b2 = (take() for _ in range(5))
-        b_w0c, b_w1, b_b1, b_w2, b_b2 = (take() for _ in range(5))
-        scale = mlp(None, c, None, s_w0c, s_w1, s_b1, s_w2, s_b2)
-        bias = mlp(None, c, None, b_w0c, b_w1, b_b1, b_w2, b_b2)
+        # affine injector inverse: z = z * exp(scale) + bias — both nets
+        # depend only on c, so they run at 1/r cost and tile after
+        s_w0, s_w1, s_b1, s_w2, s_b2 = (take() for _ in range(5))
+        b_w0, b_w1, b_b1, b_w2, b_b2 = (take() for _ in range(5))
+        scale = rep(mlp_cond(c, s_w0, s_w1, s_b1, s_w2, s_b2))
+        bias = rep(mlp_cond(c, b_w0, b_w1, b_b1, b_w2, b_b2))
         z = z * jnp.exp(scale) + bias
 
         # reverse channel permute [2, 1, 0] — sublane row shuffle
         z = jnp.concatenate([z[2:3, :], z[1:2, :], z[0:1, :]], axis=0)
 
-        # additive coupling inverse: h2 = h2 + bias_net(h1, c)
+        # additive coupling inverse: h2 = h2 + bias_net(h1, c); only the
+        # c-projection is repeat-invariant, the h1 half is per-row
         c_w0c, c_w0h, c_w1, c_b1, c_w2, c_b2 = (take() for _ in range(6))
         h1 = z[:split, :]
-        add = mlp(h1, c, c_w0h, c_w0c, c_w1, c_b1, c_w2, c_b2)  # [3-split, m]
+        h = rep(_dot(c_w0c, c))                            # [64, m]
+        for j in range(split):
+            h = h + c_w0h[:, j:j + 1] * h1[j:j + 1, :]
+        h = _lrelu(h)
+        h = _lrelu(_dot(c_w1, h) + c_b1)
+        add = _dot(c_w2, h) + c_b2                         # [3-split, m]
         z = jnp.concatenate([h1, z[split:, :] + add], axis=0)
 
         # inv1x1 inverse as 9 broadcast MACs (z' = W^-1 @ z), ActNorm^-1
@@ -134,21 +138,16 @@ def _g_weights(flow_blocks):
         bp = flow_blocks[i]
         split = 1 if i % 2 == 0 else 2
 
-        def a1d(net, h_dim):
-            w0 = net["w0"]
-            if h_dim:
-                out.extend([jnp.transpose(w0[h_dim:]),   # w0_c [64, cdim]
-                            w0[:h_dim].T])               # w0_h [64, split]
-            else:
-                out.append(jnp.transpose(w0))
-            out.extend([jnp.transpose(net["w1"]), net["b1"][:, None],
+        def a1d_cond(net):
+            out.extend([jnp.transpose(net["w0"]),
+                        jnp.transpose(net["w1"]), net["b1"][:, None],
                         jnp.transpose(net["w2"]), net["b2"][:, None]])
 
-        a1d(bp["coupling2"]["scale_net"], 0)
-        a1d(bp["coupling2"]["bias_net"], 0)
-        # coupling MLP: emit in (w0_c, w0_h, w1, b1, w2, b2) kernel order
+        a1d_cond(bp["coupling2"]["scale_net"])
+        a1d_cond(bp["coupling2"]["bias_net"])
+        # coupling MLP: (w0_c, w0_h, w1, b1, w2, b2) in kernel order
         net = bp["coupling1"]["bias_net"]
-        out.append(jnp.transpose(net["w0"][split:]))      # w0_c
+        out.append(jnp.transpose(net["w0"][split:]))      # w0_c [64, cdim]
         out.append(net["w0"][:split].T)                   # w0_h [64, split]
         out.extend([jnp.transpose(net["w1"]), net["b1"][:, None],
                     jnp.transpose(net["w2"]), net["b2"][:, None]])
@@ -161,34 +160,40 @@ def _g_weights(flow_blocks):
 
 
 @functools.partial(jax.jit, static_argnums=(3,))
-def flow_g_pallas(flow_blocks, z: jax.Array, cs_rep,
+def flow_g_pallas(flow_blocks, fz: jax.Array, cs,
                   interpret: bool = False):
-    """Inverse flow: z [B, m, 3], cs_rep list of [B, m, cdim] (already
-    repeated x upratio, ordered for FORWARD blocks) -> x [B, m, 3]."""
-    B0, m0, _ = z.shape
-    B, m = B0, m0
+    """Inverse flow from interpolated latents.
+
+    fz: [B, N, C, r] latents; cs: list of UN-repeated [B, N, cdim]
+    conditions (forward block order). Returns [B, N*r, C] in the
+    reference's point-major row order (r consecutive samples per point).
+    """
+    B0, N0, C, r = fz.shape
     num_blocks = len(flow_blocks)
     weights, splits = _g_weights(flow_blocks)
 
-    # Every op in the kernel is lane-parallel over m, so P patches can fuse
-    # into one grid program (amortises per-program weight-DMA/setup; the
-    # conditions stay the VMEM bound: ~2.5 MB per patch).
-    for P in (4, 2, 1):
-        if B % P == 0 and P * m * sum(
-                c.shape[-1] for c in cs_rep) * 4 <= 12 * 1024 * 1024:
+    # P patches fuse into one grid program (all ops are row/lane-parallel);
+    # the un-repeated conditions are the VMEM bound (~0.6 MB per patch)
+    B, n = B0, N0
+    cdim_total = sum(c.shape[-1] for c in cs)
+    for P in (8, 4, 2, 1):
+        if B0 % P == 0 and P * n * cdim_total * 4 <= 8 * 1024 * 1024:
             break
     if P > 1:
-        B, m = B // P, P * m
-        z = z.reshape(B, m, 3)
-        cs_rep = [c.reshape(B, m, c.shape[-1]) for c in cs_rep]
+        B, n = B0 // P, P * N0
+        fz = fz.reshape(B, n, C, r)
+        cs = [c.reshape(B, n, c.shape[-1]) for c in cs]
+    m = n * r
 
-    # kernel applies blocks last-to-first, channel-major
-    cs_in = [jnp.swapaxes(c, 1, 2) for c in reversed(cs_rep)]
+    # slot-major rows: [B, n, C, r] -> [B, r, n, C] -> channel-major [B,C,m]
+    z_sm = jnp.transpose(fz, (0, 3, 1, 2)).reshape(B, m, C)
+    z_cm = jnp.swapaxes(z_sm, 1, 2)                        # [B, C, m]
+    cs_in = [jnp.swapaxes(c, 1, 2) for c in reversed(cs)]  # [B, cdim, n]
 
     kernel = functools.partial(_flow_g_kernel, num_blocks=num_blocks,
-                               splits=splits)
+                               splits=splits, r=r)
     cs_specs = [
-        pl.BlockSpec((1, c.shape[1], m), lambda bb: (bb, 0, 0),
+        pl.BlockSpec((1, c.shape[1], n), lambda bb: (bb, 0, 0),
                      memory_space=pltpu.VMEM)
         for c in cs_in
     ]
@@ -200,12 +205,15 @@ def flow_g_pallas(flow_blocks, z: jax.Array, cs_rep,
     out = pl.pallas_call(
         kernel,
         grid=(B,),
-        in_specs=[pl.BlockSpec((1, 3, m), lambda bb: (bb, 0, 0),
+        in_specs=[pl.BlockSpec((1, C, m), lambda bb: (bb, 0, 0),
                                memory_space=pltpu.VMEM)] + cs_specs + w_specs,
-        out_specs=pl.BlockSpec((1, 3, m), lambda bb: (bb, 0, 0),
+        out_specs=pl.BlockSpec((1, C, m), lambda bb: (bb, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 3, m), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, C, m), jnp.float32),
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
-    )(jnp.swapaxes(z.astype(jnp.float32), 1, 2), *cs_in, *weights)
-    return jnp.swapaxes(out, 1, 2).reshape(B0, m0, 3)
+    )(z_cm.astype(jnp.float32), *cs_in, *weights)
+
+    # back to point-major rows: [B, C, m] -> [B, r, n, C] -> [B0, N0*r, C]
+    x_sm = jnp.swapaxes(out, 1, 2).reshape(B, r, n, C)
+    return jnp.transpose(x_sm, (0, 2, 1, 3)).reshape(B0, N0 * r, C)

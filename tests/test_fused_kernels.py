@@ -79,8 +79,6 @@ def test_flow_g_kernel_matches_xla(folded):
     cs = [jax.random.normal(jax.random.PRNGKey(10 + i), (B, n, c)) * 0.5
           for i, c in enumerate([32, 64, 128, 128, 128, 128])]
     x_ref = discrete.g_transform(params, z, cs, r, fast=False)
-    z_flat = jnp.swapaxes(z, 2, 3).reshape(B, n * r, 3)
-    cs_rep = [jnp.repeat(c, r, axis=1) for c in cs]
-    x_k = flow_g_pallas(params["flow_blocks"], z_flat, cs_rep, True)
+    x_k = flow_g_pallas(params["flow_blocks"], z, cs, True)
     np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_ref),
                                atol=1e-5)
