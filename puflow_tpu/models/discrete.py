@@ -195,11 +195,12 @@ def f_transform(params, x, cs):
 def g_transform(params, z, cs, upratio: int, fast: bool = False):
     """Latents [B, N, C, r] -> points [B, N*r, C] (reference `g`, `:315-321`).
 
-    The [B, N, r, C] flatten ordering means each input point's r samples are
-    consecutive rows, matching `repeat_interleave(cond, upratio, dim=1)`.
-    `fast=True` (inference) runs the whole chain as one per-patch Pallas
-    kernel (`ops/pallas/flow_pallas.py`); the kernel has no VJP, so the
-    training path keeps the XLA formulation.
+    Output rows are point-major (each input point's r samples consecutive),
+    matching `repeat_interleave(cond, upratio, dim=1)` in the reference.
+    `fast=True` (inference) runs the whole chain as one Pallas kernel
+    (`ops/pallas/flow_pallas.py`, slot-major internally with in-kernel
+    condition repeat); the kernel has no VJP, so the training path keeps
+    the XLA formulation below.
     """
     B, N, C, r = z.shape
     if (fast and jax.default_backend() not in ("cpu",)
