@@ -287,22 +287,26 @@ def interpolation_apply(params, state, z, xyz, upratio: int, train: bool,
     else:
         assert knn_idx.shape[-1] >= INTERP_K
         knn_idx = knn_idx[..., :INTERP_K]
-    gather_fn = make_neighbor_gather(knn_idx, xyz.shape[1], dtype)
     folded = "bn0" not in params["weight_unit"]
     if (folded and not train and jax.default_backend() not in ("cpu",)
             and xyz.shape[1] * INTERP_K <= 8192):
-        # fused weight head (inference fast path; see
-        # ops/pallas/encoder_pallas.interp_logits_pallas)
-        from puflow_tpu.ops.pallas.encoder_pallas import interp_logits_pallas
+        # fully-fused fast path: weight head + softmax + latent blend in
+        # one kernel (ops/pallas/encoder_pallas.interp_latents_pallas) —
+        # neither the one-hot gather matrix nor the logits touch HBM
+        from puflow_tpu.ops.pallas.encoder_pallas import (
+            interp_latents_pallas,
+        )
 
-        logits = interp_logits_pallas(params, xyz, knn_idx)
-        kc_s, wu_s = state["knn_context"], state["weight_unit"]
-    else:
-        ctx, kc_s = knn_context_apply(
-            params["knn_context"], state["knn_context"], xyz, knn_idx, train,
-            dtype=dtype, gather_fn=gather_fn)
-        logits, wu_s = weight_unit_apply(
-            params["weight_unit"], state["weight_unit"], ctx, train)
+        interp = interp_latents_pallas(params, xyz, knn_idx,
+                                       z.astype(jnp.float32), upratio)
+        return interp, {"knn_context": state["knn_context"],
+                        "weight_unit": state["weight_unit"]}
+    gather_fn = make_neighbor_gather(knn_idx, xyz.shape[1], dtype)
+    ctx, kc_s = knn_context_apply(
+        params["knn_context"], state["knn_context"], xyz, knn_idx, train,
+        dtype=dtype, gather_fn=gather_fn)
+    logits, wu_s = weight_unit_apply(
+        params["weight_unit"], state["weight_unit"], ctx, train)
     logits = logits[..., :upratio].astype(jnp.float32)    # [B, N, k, r]
     weights = jax.nn.softmax(logits, axis=2)              # softmax over k
     nei = gather_fn(z).astype(jnp.float32)                # [B, N, k, C]

@@ -253,22 +253,9 @@ def _leaky01(x):
     return jnp.maximum(x, 0.01 * x)
 
 
-def _interp_kernel(xyz_ref, idx_ref, *refs, n: int, k: int, growths):
-    weight_refs = refs[:-1]
-    out_ref = refs[-1]
-    wi = 0
-
-    def take():
-        nonlocal wi
-        r = weight_refs[wi][...]
-        wi += 1
-        return r
-
-    idx_col = idx_ref[0]                                   # [k*n, 1]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (n * k, n), 1)
-    onehot = (cols == idx_col).astype(jnp.bfloat16)
-
-    x = xyz_ref[0]                                         # [n, 3]
+def _interp_logits_body(x, onehot, take, n: int, k: int, growths):
+    """Shared body: xyz + one-hot graph -> interpolation logits
+    [k*n, r_max] (slot-major rows)."""
 
     # --- distance features: [pt, nei, pt - nei, |pt - nei|] -------------
     nei = _onehot_dot(onehot, x)                           # [k*n, 3]
@@ -306,7 +293,63 @@ def _interp_kernel(xyz_ref, idx_ref, *refs, n: int, k: int, growths):
     # --- weight-estimation MLP, slope 0.01 ------------------------------
     h = _leaky01(_f32_dot(ctx, take()) + take())
     h = _leaky01(_f32_dot(h, take()) + take())
-    out_ref[0] = _f32_dot(h, take()) + take()              # [k*n, r_max]
+    return _f32_dot(h, take()) + take()                    # [k*n, r_max]
+
+
+def _graph_and_take(xyz_ref, idx_ref, weight_refs, n, k):
+    idx_col = idx_ref[0]                                   # [k*n, 1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n * k, n), 1)
+    onehot = (cols == idx_col).astype(jnp.bfloat16)
+    x = xyz_ref[0]                                         # [n, 3]
+    wi = 0
+
+    def take():
+        nonlocal wi
+        w = weight_refs[wi][...]
+        wi += 1
+        return w
+
+    return x, onehot, take
+
+
+def _interp_kernel(xyz_ref, idx_ref, *refs, n: int, k: int, growths):
+    x, onehot, take = _graph_and_take(xyz_ref, idx_ref, refs[:-1], n, k)
+    refs[-1][0] = _interp_logits_body(x, onehot, take, n, k, growths)
+
+
+def _interp_latents_kernel(xyz_ref, idx_ref, z_ref, *refs, n: int, k: int,
+                           growths, r: int):
+    """Logits + softmax over the k neighbour slots + latent blend, fused.
+
+    Emits the interpolated latents [n, C*r] (cols c*r + j) so only they
+    leave VMEM — the [B, n*k, n] one-hot z-gather matrix and the logits
+    never touch HBM.
+    """
+    x, onehot, take = _graph_and_take(xyz_ref, idx_ref, refs[:-1], n, k)
+    out_ref = refs[-1]
+    logits = _interp_logits_body(x, onehot, take, n, k, growths)[:, :r]
+
+    # softmax over the k slots per point (rows s*n + p), XLA-style
+    # max-subtraction; slot slices are static [n, r] views
+    sl = [logits[s * n:(s + 1) * n, :] for s in range(k)]
+    mx = sl[0]
+    for s in range(1, k):
+        mx = jnp.maximum(mx, sl[s])
+    es = [jnp.exp(v - mx) for v in sl]
+    denom = es[0]
+    for s in range(1, k):
+        denom = denom + es[s]
+    ws = [e / denom for e in es]                           # k x [n, r]
+
+    zn = _onehot_dot(onehot, z_ref[0])                     # [k*n, C]
+    C = zn.shape[1]
+    cols = []
+    for c in range(C):
+        acc = zn[0:n, c:c + 1] * ws[0]                     # [n, r]
+        for s in range(1, k):
+            acc = acc + zn[s * n:(s + 1) * n, c:c + 1] * ws[s]
+        cols.append(acc)
+    out_ref[0] = jnp.concatenate(cols, axis=1)             # [n, C*r]
 
 
 def _mlp3_weights(p):
@@ -377,3 +420,48 @@ def interp_logits_pallas(interp_params, xyz: jax.Array, knn_idx: jax.Array,
     )(xyz.astype(jnp.float32), idx_sm, *weights)
     # slot-major [B, k*n, R] -> [B, n, k, R]
     return jnp.swapaxes(out.reshape(B, k, n, r_max), 1, 2)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def interp_latents_pallas(interp_params, xyz: jax.Array, knn_idx: jax.Array,
+                          z: jax.Array, upratio: int,
+                          interpret: bool = False):
+    """Fully-fused latent interpolation: weight head + softmax + k-NN
+    latent blend in one kernel. xyz [B, n, 3], idx [B, n, k], z [B, n, C]
+    -> [B, n, C, upratio] (reference `InterpolationModule.forward`,
+    `modules/discrete/interpflow.py:173-186`)."""
+    B, n, C = z.shape
+    k = knn_idx.shape[-1]
+    kc = interp_params["knn_context"]
+    weights = _mlp3_weights(kc["distance_encoder"])
+    feu_w, growths, _ = _feu_weights(kc["feat_conv"])
+    weights += feu_w
+    weights += _mlp3_weights(interp_params["weight_unit"])
+
+    idx_sm = jnp.swapaxes(knn_idx.astype(jnp.int32), 1, 2).reshape(
+        B, k * n, 1)
+    kernel = functools.partial(_interp_latents_kernel, n=n, k=k,
+                               growths=growths, r=upratio)
+    w_specs = [
+        pl.BlockSpec(w.shape, (lambda bb, nd=w.ndim: (0,) * nd),
+                     memory_space=pltpu.VMEM)
+        for w in weights
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, n, 3), lambda bb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k * n, 1), lambda bb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, C), lambda bb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + w_specs,
+        out_specs=pl.BlockSpec((1, n, C * upratio), lambda bb: (bb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n, C * upratio), jnp.float32),
+        interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(xyz.astype(jnp.float32), idx_sm, z.astype(jnp.float32), *weights)
+    return out.reshape(B, n, C, upratio)

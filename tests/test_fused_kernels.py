@@ -69,6 +69,35 @@ def test_interp_kernel_matches_xla(folded):
     assert err < 2e-3, err
 
 
+def test_interp_latents_kernel_matches_xla(folded):
+    """The fully-fused variant (weight head + softmax + latent blend)
+    matches the XLA softmax/gather/einsum tail."""
+    from puflow_tpu.models.encoder import (
+        knn_context_apply,
+        weight_unit_apply,
+    )
+    from puflow_tpu.ops.knn import knn_indices, make_neighbor_gather
+    from puflow_tpu.ops.pallas.encoder_pallas import interp_latents_pallas
+
+    params, state = folded
+    r = 4
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 3)) * 0.3
+    z = jax.random.normal(jax.random.PRNGKey(5), (2, 64, 3))
+    idx = knn_indices(x, x, 8)
+    ip, istate = params["interp"], state["interp"]
+    ctx, _ = knn_context_apply(ip["knn_context"], istate["knn_context"], x,
+                               idx, False)
+    logits, _ = weight_unit_apply(ip["weight_unit"], istate["weight_unit"],
+                                  ctx, False)
+    w = jax.nn.softmax(logits[..., :r].astype(jnp.float32), axis=2)
+    nei = make_neighbor_gather(idx, x.shape[1], None)(z)
+    ref = jnp.einsum("bnkc,bnkr->bncr", nei.astype(jnp.float32), w)
+
+    got = interp_latents_pallas(ip, x, idx, z, r, True)
+    err = np.abs(np.asarray(ref) - np.asarray(got)).max()
+    assert err < 5e-4, err
+
+
 def test_flow_g_kernel_matches_xla(folded):
     from puflow_tpu.models import discrete
     from puflow_tpu.ops.pallas.flow_pallas import flow_g_pallas
