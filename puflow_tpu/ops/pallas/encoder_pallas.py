@@ -124,10 +124,15 @@ def _encoder_kernel(xyz_ref, idx_ref, *refs, n: int, k: int,
         n_layers = len(growths[b])
         w_self = take()                                    # [C, Gt]
         w_nbr = take()                                     # [C, Gt]
+        gt = w_nbr.shape[1]
 
         p_self = _f32_dot(x, w_self)                       # [n, Gt]
+        # NOTE: gathering the raw features first and projecting after
+        # (2*n*C + 3*C*Gt MAC-passes vs 2*n*Gt) looked cheaper on paper for
+        # the low-C blocks but measured SLOWER (the 3-pass projection's
+        # hi/lo splits of the big [k*n, C] activation are VPU-bound);
+        # project-then-gather stays.
         p_nbr = _onehot_dot(onehot, _f32_dot(x, w_nbr))    # [k*n, Gt]
-        gt = p_nbr.shape[1]
         # fold the self term in with ONE slot-broadcast add (slot-major
         # rows: leading-dim reshape is free) instead of materialising a
         # k-tiled copy of p_self and adding two operands per layer slice
