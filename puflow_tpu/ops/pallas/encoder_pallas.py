@@ -139,19 +139,32 @@ def _encoder_kernel(xyz_ref, idx_ref, *refs, n: int, k: int,
         p = (p_nbr.reshape(k, n, gt) + p_self[None]).reshape(k * n, gt)
 
         offset = 0
-        h_cat = None
+        # carry h_cat as a (hi, lo) bf16 pair: it feeds a matmul at every
+        # later layer, and re-splitting the growing [k*n, P_j] prefix per
+        # dot is pure VPU waste — each new piece splits exactly once
+        hc_hi = hc_lo = None
+
+        def hc_dot(w):
+            w_hi, w_lo = _split_hi_lo(w)
+            return (_bf16_dot(hc_hi, w_hi) + _bf16_dot(hc_hi, w_lo)
+                    + _bf16_dot(hc_lo, w_hi))
+
         for j in range(n_layers):
             g = growths[b][j]
             h = p[:, offset:offset + g] + take()           # bias [1, G_j]
             if j > 0:
-                h = h + _f32_dot(h_cat, take())            # [P_j, G_j]
+                h = h + hc_dot(take())                     # [P_j, G_j]
             h = _leaky(h)
-            h_cat = h if h_cat is None else jnp.concatenate([h_cat, h],
-                                                            axis=1)
+            h_hi, h_lo = _split_hi_lo(h)
+            if hc_hi is None:
+                hc_hi, hc_lo = h_hi, h_lo
+            else:
+                hc_hi = jnp.concatenate([hc_hi, h_hi], axis=1)
+                hc_lo = jnp.concatenate([hc_lo, h_lo], axis=1)
             offset += g
 
         f = p[:, offset:] + take()                         # out bias
-        f = f + _f32_dot(h_cat, take())                    # conv_out h part
+        f = f + hc_dot(take())                             # conv_out h part
         # K-pool over slot-major rows
         f = jnp.max(f.reshape(k, n, odims[b]), axis=0)     # [n, odim]
 
