@@ -37,6 +37,7 @@
 
 #include <algorithm>
 #include <array>
+#include <cerrno>
 #include <cfloat>
 #include <cmath>
 #include <cstdint>
@@ -464,6 +465,22 @@ static void run_uniform(const Mesh &mesh,
               ua.samples, radius[0], radius[4]);
 }
 
+// Strict numeric parse: rejects non-numeric/garbage values at the CLI
+// boundary so bad --samples/--seed don't silently produce empty disk_idx
+// side-files (and NaN uniformity measures downstream).
+static long long parse_int_arg(const char *flag, const char *s,
+                               long long min_val) {
+  char *end = nullptr;
+  errno = 0;
+  long long v = std::strtoll(s, &end, 10);
+  if (errno != 0 || end == s || *end != '\0' || v < min_val) {
+    std::fprintf(stderr, "invalid value for %s: '%s' (need integer >= %lld)\n",
+                 flag, s, min_val);
+    std::exit(1);
+  }
+  return v;
+}
+
 int main(int argc, char **argv) {
   std::vector<std::string> pos_args;
   UniformArgs ua;
@@ -471,9 +488,12 @@ int main(int argc, char **argv) {
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
     if (a == "--uniform") ua.enabled = true;
-    else if (a == "--seed" && i + 1 < argc) ua.seed = std::stoull(argv[++i]);
-    else if (a == "--samples" && i + 1 < argc) ua.samples = std::atoi(argv[++i]);
-    else if (a == "--threads" && i + 1 < argc) n_threads = std::atoi(argv[++i]);
+    else if (a == "--seed" && i + 1 < argc)
+      ua.seed = (uint64_t)parse_int_arg("--seed", argv[++i], 0);
+    else if (a == "--samples" && i + 1 < argc)
+      ua.samples = (int)parse_int_arg("--samples", argv[++i], 1);
+    else if (a == "--threads" && i + 1 < argc)
+      n_threads = (int)parse_int_arg("--threads", argv[++i], 1);
     else pos_args.push_back(a);
   }
   if (pos_args.size() < 2) {

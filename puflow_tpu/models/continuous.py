@@ -28,6 +28,8 @@ import functools
 
 import math
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
@@ -54,27 +56,81 @@ MAX_STEPS_EVAL = 128
 
 
 # --------------------------------------------------------------------------
-# ConcatSquashLinear ODE net
+# Conditional diffeq layer zoo (reference `diffeq_layers.py:12-103`)
+#
+# Every layer maps (ctx = [t, c], x) -> out with its own conditioning
+# scheme; `ODEnet` selects among them by `layer_type` and among the
+# nonlinearities by name (`odefunc.py:51-94`). The shipped checkpoints use
+# only 'concatsquash' + 'tanh' (that path keeps the round-1/2 param layout:
+# a plain list of layer dicts), the rest is library surface.
 # --------------------------------------------------------------------------
+def _linear_init(key, din, dout, bias=True):
+    b = (1.0 / din) ** 0.5
+    p = {"w": jax.random.uniform(key, (din, dout), minval=-b, maxval=b)}
+    if bias:
+        p["b"] = jnp.zeros((dout,))
+    return p
+
+
+def _ignore_init(key, dim_in, dim_out, dim_c):
+    return {"layer": _linear_init(key, dim_in, dim_out)}
+
+
+def _ignore_apply(p, ctx, x):
+    """IgnoreLinear (`diffeq_layers.py:12-18`): condition unused."""
+    return x @ p["layer"]["w"] + p["layer"]["b"]
+
+
+def _concat_init(key, dim_in, dim_out, dim_c):
+    return {"layer": _linear_init(key, dim_in + 1 + dim_c, dim_out)}
+
+
+def _concat_apply(p, ctx, x):
+    """ConcatLinear (`diffeq_layers.py:21-30`): linear over [x, t, c]."""
+    return jnp.concatenate([x, ctx], -1) @ p["layer"]["w"] + p["layer"]["b"]
+
+
+def _concat_v2_init(key, dim_in, dim_out, dim_c):
+    k0, k1 = jax.random.split(key)
+    return {"layer": _linear_init(k0, dim_in, dim_out),
+            "hyper_bias": _linear_init(k1, dim_c + 1, dim_out, bias=False)}
+
+
+def _concat_v2_apply(p, ctx, x):
+    """ConcatLinear_v2 (`diffeq_layers.py:33-43`): hyper bias only."""
+    return x @ p["layer"]["w"] + p["layer"]["b"] + ctx @ p["hyper_bias"]["w"]
+
+
+def _squash_init(key, dim_in, dim_out, dim_c):
+    k0, k1 = jax.random.split(key)
+    return {"layer": _linear_init(k0, dim_in, dim_out),
+            "hyper": _linear_init(k1, dim_c + 1, dim_out)}
+
+
+def _squash_apply(p, ctx, x):
+    """SquashLinear (`diffeq_layers.py:46-56`): sigmoid hyper gate."""
+    gate = jax.nn.sigmoid(ctx @ p["hyper"]["w"] + p["hyper"]["b"])
+    return (x @ p["layer"]["w"] + p["layer"]["b"]) * gate
+
+
+def _scale_init(key, dim_in, dim_out, dim_c):
+    k0, k1 = jax.random.split(key)
+    return {"layer": _linear_init(k0, dim_in, dim_out),
+            "hyper": _linear_init(k1, dim_c + 1, dim_out)}
+
+
+def _scale_apply(p, ctx, x):
+    """ScaleLinear (`diffeq_layers.py:59-69`): linear (un-squashed) gate."""
+    gate = ctx @ p["hyper"]["w"] + p["hyper"]["b"]
+    return (x @ p["layer"]["w"] + p["layer"]["b"]) * gate
+
+
 def _csl_init(key, dim_in, dim_out, dim_c):
     k0, k1, k2 = jax.random.split(key, 3)
-    b = (1.0 / dim_in) ** 0.5
-    bc = (1.0 / (dim_c + 1)) ** 0.5
     return {
-        "layer": {
-            "w": jax.random.uniform(k0, (dim_in, dim_out), minval=-b,
-                                    maxval=b),
-            "b": jnp.zeros((dim_out,)),
-        },
-        "hyper_bias": {
-            "w": jax.random.uniform(k1, (dim_c + 1, dim_out), minval=-bc,
-                                    maxval=bc),
-        },
-        "hyper_gate": {
-            "w": jax.random.uniform(k2, (dim_c + 1, dim_out), minval=-bc,
-                                    maxval=bc),
-            "b": jnp.zeros((dim_out,)),
-        },
+        "layer": _linear_init(k0, dim_in, dim_out),
+        "hyper_bias": _linear_init(k1, dim_c + 1, dim_out, bias=False),
+        "hyper_gate": _linear_init(k2, dim_c + 1, dim_out),
     }
 
 
@@ -85,39 +141,98 @@ def _csl_apply(p, ctx, x):
     return (x @ p["layer"]["w"] + p["layer"]["b"]) * gate + bias
 
 
-def odenet_init(key, idim: int, cdim: int, hdims=HDIMS):
+def _concatscale_apply(p, ctx, x):
+    """ConcatScaleLinear (`diffeq_layers.py:89-103`): CSL without sigmoid."""
+    gate = ctx @ p["hyper_gate"]["w"] + p["hyper_gate"]["b"]
+    bias = ctx @ p["hyper_bias"]["w"]
+    return (x @ p["layer"]["w"] + p["layer"]["b"]) * gate + bias
+
+
+DIFFEQ_LAYERS = {
+    "ignore": (_ignore_init, _ignore_apply),
+    "squash": (_squash_init, _squash_apply),
+    "scale": (_scale_init, _scale_apply),
+    "concat": (_concat_init, _concat_apply),
+    "concat_v2": (_concat_v2_init, _concat_v2_apply),
+    "concatsquash": (_csl_init, _csl_apply),
+    "concatscale": (_csl_init, _concatscale_apply),
+}
+
+# Nonlinearity zoo (`odefunc.py:51-59`). 'swish' carries a trainable beta;
+# the reference shares ONE Swish instance (one beta) across every layer of
+# every net built in a process (module-level NONLINEARITIES dict) — here
+# each ODEnet owns a single beta, the per-net analogue of that sharing.
+NONLINEARITIES = ("tanh", "relu", "softplus", "elu", "swish", "square",
+                  "identity")
+
+
+def _apply_nonlinearity(name, x, beta=None):
+    if name == "tanh":
+        return jnp.tanh(x)
+    if name == "relu":
+        return jax.nn.relu(x)
+    if name == "softplus":
+        return jax.nn.softplus(x)
+    if name == "elu":
+        return jax.nn.elu(x)
+    if name == "swish":
+        return x * jax.nn.sigmoid(beta * x)
+    if name == "square":
+        return x * x
+    if name == "identity":
+        return x
+    raise ValueError(f"unknown nonlinearity: {name}")
+
+
+def odenet_init(key, idim: int, cdim: int, hdims=HDIMS,
+                layer_type: str = "concatsquash",
+                nonlinearity: str = "tanh"):
+    """ODEnet params (`odefunc.py:62-94`). The default configuration
+    returns the checkpoint-compatible plain list of layer dicts; a 'swish'
+    net wraps it in {"layers": ..., "swish_beta": ...}."""
+    init_fn = DIFFEQ_LAYERS[layer_type][0]
     dims = (idim,) + tuple(hdims) + (idim,)
     keys = jax.random.split(key, len(dims) - 1)
-    return [
-        _csl_init(keys[i], dims[i], dims[i + 1], cdim)
+    layers = [
+        init_fn(keys[i], dims[i], dims[i + 1], cdim)
         for i in range(len(dims) - 1)
     ]
+    if nonlinearity == "swish":
+        return {"layers": layers, "swish_beta": jnp.asarray(1.0)}
+    return layers
 
 
-def odenet_apply(layers, t, c, y):
-    """dy/dt = net([t, c], y) with tanh between layers (`odefunc.py:96-103`,
-    nonlinearity='tanh' per `continuous/interpflow.py` FlowBlock default)."""
+def odenet_apply(layers, t, c, y, layer_type: str = "concatsquash",
+                 nonlinearity: str = "tanh"):
+    """dy/dt = net([t, c], y) with the chosen nonlinearity between layers
+    (`odefunc.py:96-103`; the shipped CNF uses concatsquash + tanh)."""
+    beta = None
+    if isinstance(layers, dict):
+        beta = layers["swish_beta"]
+        layers = layers["layers"]
+    apply_fn = DIFFEQ_LAYERS[layer_type][1]
     t_full = jnp.broadcast_to(jnp.asarray(t, y.dtype),
                               y.shape[:-1] + (1,))
     ctx = jnp.concatenate([t_full, c], axis=-1)
     dx = y
     for i, p in enumerate(layers):
-        dx = _csl_apply(p, ctx, dx)
+        dx = apply_fn(p, ctx, dx)
         if i < len(layers) - 1:
-            dx = jnp.tanh(dx)
+            dx = _apply_nonlinearity(nonlinearity, dx, beta)
     return dx
 
 
 # --------------------------------------------------------------------------
 # Divergence
 # --------------------------------------------------------------------------
-def field_with_exact_div(layers, c):
+def field_with_exact_div(layers, c, layer_type: str = "concatsquash",
+                         nonlinearity: str = "tanh"):
     """(t, (y, logp)) -> (dy, -div) with the exact 3-JVP trace."""
     def fn(t, state):
         y, _ = state
 
         def f_only(yy):
-            return odenet_apply(layers, t, c, yy)
+            return odenet_apply(layers, t, c, yy, layer_type, nonlinearity)
 
         dy = f_only(y)
         div = jnp.zeros(y.shape[:-1], dtype=y.dtype)
@@ -130,14 +245,15 @@ def field_with_exact_div(layers, c):
     return fn
 
 
-def field_with_hutchinson_div(layers, c, e):
+def field_with_hutchinson_div(layers, c, e, layer_type: str = "concatsquash",
+                              nonlinearity: str = "tanh"):
     """Reference-parity stochastic estimator (`odefunc.py:9-30`): one JVP
     with fixed noise e, div ~= e^T (df/dy) e."""
     def fn(t, state):
         y, _ = state
 
         def f_only(yy):
-            return odenet_apply(layers, t, c, yy)
+            return odenet_apply(layers, t, c, yy, layer_type, nonlinearity)
 
         dy, je = jax.jvp(f_only, (y,), (e,))
         div = jnp.sum(je * e, axis=-1, keepdims=True)
@@ -146,51 +262,56 @@ def field_with_hutchinson_div(layers, c, e):
     return fn
 
 
-def _cnf_field(p, t, state):
-    """Params-explicit augmented field for the adjoint solver.
+@functools.lru_cache(maxsize=None)
+def _adjoint_for(layer_type: str, nonlinearity: str):
+    """One custom_vjp adjoint-solver instance per net configuration.
 
-    p = {"layers": odenet params, "c": conditions}; state = (y, logp).
-    """
-    y, _ = state
-    layers, c = p["layers"], p["c"]
+    The field is params-explicit (p = {"layers", "c"}) so the continuous
+    adjoint can propagate gradients into the net and the conditions."""
+    def _cnf_field(p, t, state):
+        y, _ = state
+        layers, c = p["layers"], p["c"]
 
-    def f_only(yy):
-        return odenet_apply(layers, t, c, yy)
+        def f_only(yy):
+            return odenet_apply(layers, t, c, yy, layer_type, nonlinearity)
 
-    dy = f_only(y)
-    div = jnp.zeros(y.shape[:-1], dtype=y.dtype)
-    for i in range(y.shape[-1]):
-        e = jnp.zeros_like(y).at[..., i].set(1.0)
-        _, je = jax.jvp(f_only, (y,), (e,))
-        div = div + je[..., i]
-    return dy, -div[..., None]
+        dy = f_only(y)
+        div = jnp.zeros(y.shape[:-1], dtype=y.dtype)
+        for i in range(y.shape[-1]):
+            e = jnp.zeros_like(y).at[..., i].set(1.0)
+            _, je = jax.jvp(f_only, (y,), (e,))
+            div = div + je[..., i]
+        return dy, -div[..., None]
 
-
-# one custom_vjp instance per (tolerance, budget) configuration
-_ADJOINT_SOLVE = make_adjoint_odeint(_cnf_field, RTOL, ATOL, MAX_STEPS_EVAL)
+    return make_adjoint_odeint(_cnf_field, RTOL, ATOL, MAX_STEPS_EVAL)
 
 
 # --------------------------------------------------------------------------
 # CNF flow block
 # --------------------------------------------------------------------------
-def flow_block_init(key, cdim: int, idim: int = 3):
+def flow_block_init(key, cdim: int, idim: int = 3, T: float = T_INIT,
+                    layer_type: str = "concatsquash",
+                    nonlinearity: str = "tanh"):
     return {
-        "sqrt_end_time": jnp.asarray(math.sqrt(T_INIT), jnp.float32),
-        "layers": odenet_init(key, idim, cdim),
+        "sqrt_end_time": jnp.asarray(math.sqrt(T), jnp.float32),
+        "layers": odenet_init(key, idim, cdim, layer_type=layer_type,
+                              nonlinearity=nonlinearity),
     }
 
 
 def _integrate(block, y, c, reverse: bool, differentiable: bool,
-               max_steps: int | None = None):
+               max_steps: int | None = None,
+               layer_type: str = "concatsquash",
+               nonlinearity: str = "tanh"):
     T = block["sqrt_end_time"] * block["sqrt_end_time"]
     t0, t1 = (T, 0.0) if reverse else (0.0, T)
     logp0 = jnp.zeros(y.shape[:-1] + (1,), dtype=y.dtype)
-    fn = field_with_exact_div(block["layers"], c)
+    fn = field_with_exact_div(block["layers"], c, layer_type, nonlinearity)
     if differentiable:
         # continuous adjoint: adaptive while_loop in both directions,
         # memory-O(1), compiles in seconds (reference parity with
         # torchdiffeq.odeint_adjoint)
-        yf, logpf = _ADJOINT_SOLVE(
+        yf, logpf = _adjoint_for(layer_type, nonlinearity)(
             {"layers": block["layers"], "c": c}, (y, logp0),
             jnp.asarray(t0, jnp.float32), jnp.asarray(t1, jnp.float32))
         return yf, logpf
@@ -200,17 +321,23 @@ def _integrate(block, y, c, reverse: bool, differentiable: bool,
     return yf, logpf
 
 
-def flow_block_forward(block, x, c, differentiable: bool = True):
+def flow_block_forward(block, x, c, differentiable: bool = True,
+                       layer_type: str = "concatsquash",
+                       nonlinearity: str = "tanh"):
     """x -> z with accumulated delta-logp summed per cloud (reference
     continuous `FlowBlock.forward`, `:31-40`)."""
     z, logp = _integrate(block, x, c, reverse=False,
-                         differentiable=differentiable)
+                         differentiable=differentiable,
+                         layer_type=layer_type, nonlinearity=nonlinearity)
     return z, jnp.sum(logp, axis=(1, 2))
 
 
-def flow_block_inverse(block, z, c, differentiable: bool = False):
+def flow_block_inverse(block, z, c, differentiable: bool = False,
+                       layer_type: str = "concatsquash",
+                       nonlinearity: str = "tanh"):
     x, _ = _integrate(block, z, c, reverse=True,
-                      differentiable=differentiable)
+                      differentiable=differentiable,
+                      layer_type=layer_type, nonlinearity=nonlinearity)
     return x
 
 
@@ -227,6 +354,115 @@ def count_nfe(params, x, cs):
                                       return_stats=True)
         total = total + stats["nfe"]
     return total
+
+
+def count_total_time(params_or_chain):
+    """Sum of integration end-times T = sqrt_end_time^2 over the CNF blocks
+    (reference `count_total_time`, `modules/continuous/flow.py:25-37`).
+
+    Accepts either full model params (dict with "flow_blocks") or a
+    `build_model` chain."""
+    if isinstance(params_or_chain, dict):
+        blocks = params_or_chain["flow_blocks"]
+    else:
+        blocks = [p for kind, p in params_or_chain if kind == "cnf"]
+    total = jnp.asarray(0.0, jnp.float32)
+    for b in blocks:
+        total = total + b["sqrt_end_time"] * b["sqrt_end_time"]
+    return total
+
+
+# --------------------------------------------------------------------------
+# Args-driven construction surface (reference `flow.py:40-89` build_model +
+# `cnf.py:9-30` SequentialFlow)
+# --------------------------------------------------------------------------
+class CNFChainConfig(NamedTuple):
+    """The `args` surface of reference `build_model` (`flow.py:40-75`).
+
+    `solver`/`use_adjoint` are recorded for parity: the runtime always
+    integrates with dopri5 (the only solver the shipped models use) and
+    picks discretise-then-differentiate vs continuous adjoint from the
+    `train`/`differentiable` flag at apply time."""
+    layer_type: str = "concatsquash"
+    nonlinearity: str = "tanh"
+    time_length: float = 0.5
+    train_T: bool = True
+    solver: str = "dopri5"
+    use_adjoint: bool = True
+    atol: float = 1e-5
+    rtol: float = 1e-5
+    batch_norm: bool = False
+    bn_lag: float = 0.0
+    sync_bn: bool = False
+
+
+def build_model(key, input_dim: int, hidden_dims, context_dim: int,
+                num_blocks: int, conditional: bool = True,
+                cfg: CNFChainConfig = CNFChainConfig()):
+    """Construct a CNF chain -> (chain, chain_state).
+
+    chain[i] = ("cnf", block_params) or ("bn", moving_bn_params); with
+    `cfg.batch_norm` the layout is bn, (cnf, bn) x num_blocks — exactly the
+    reference's interleaving (`flow.py:65-72`). `conditional=False` builds
+    context-free nets (callers pass a zero-width condition)."""
+    from puflow_tpu.flows.moving_bn import moving_bn_init
+
+    cdim = context_dim if conditional else 0
+    keys = jax.random.split(key, num_blocks)
+    chain = [("cnf", flow_block_init(keys[i], cdim, idim=input_dim,
+                                     T=cfg.time_length,
+                                     layer_type=cfg.layer_type,
+                                     nonlinearity=cfg.nonlinearity,
+                                     ))
+             for i in range(num_blocks)]
+    chain_state = [None] * num_blocks
+    if cfg.batch_norm:
+        bn_chain, bn_state = [], []
+        p0, s0 = moving_bn_init(input_dim)
+        bn_chain.append(("bn", p0))
+        bn_state.append(s0)
+        for blk, st in zip(chain, chain_state):
+            p, s = moving_bn_init(input_dim)
+            bn_chain.extend([blk, ("bn", p)])
+            bn_state.extend([st, s])
+        chain, chain_state = bn_chain, bn_state
+    return chain, chain_state
+
+
+def sequential_flow_apply(chain, chain_state, x, c=None, logpx=None,
+                          reverse: bool = False, train: bool = False,
+                          cfg: CNFChainConfig = CNFChainConfig()):
+    """Run a `build_model` chain (reference `SequentialFlow.forward`,
+    `cnf.py:16-30`): forward applies layers in order, reverse applies them
+    backwards with each layer inverted; logpx accumulates additively
+    through CNFs and moving-BNs alike. Returns (x, logpx', new_state)."""
+    inds = range(len(chain) - 1, -1, -1) if reverse else range(len(chain))
+    new_state = list(chain_state)
+    lp = (jnp.zeros(x.shape[:-1] + (1,), x.dtype) if logpx is None
+          else logpx)
+    for i in inds:
+        kind, p = chain[i]
+        if kind == "cnf":
+            cc = (c if c is not None
+                  else jnp.zeros(x.shape[:-1] + (0,), x.dtype))
+            x, dlp = _integrate(p, x, cc, reverse=reverse,
+                                differentiable=train,
+                                layer_type=cfg.layer_type,
+                                nonlinearity=cfg.nonlinearity)
+            lp = lp + dlp
+        else:
+            from puflow_tpu.flows.moving_bn import (
+                moving_bn_forward,
+                moving_bn_reverse,
+            )
+
+            if reverse:
+                x, lp = moving_bn_reverse(p, chain_state[i], x, lp)
+            else:
+                x, lp, new_state[i] = moving_bn_forward(
+                    p, chain_state[i], x, lp, train=train,
+                    bn_lag=cfg.bn_lag)
+    return x, lp, new_state
 
 
 # --------------------------------------------------------------------------

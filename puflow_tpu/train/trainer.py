@@ -133,7 +133,8 @@ def _jitted_steps(cfg: TrainConfig, forward_fn, mesh):
     host) and recompiling happen once per process instead of once per
     Trainer — checkpoints/optimizer states stay interchangeable because
     `make_optimizer(cfg)` is deterministic in cfg."""
-    mesh_key = (tuple(d.id for d in mesh.devices.flat), mesh.axis_names)
+    mesh_key = (tuple(d.id for d in mesh.devices.flat),
+                mesh.devices.shape, mesh.axis_names)
     _MESH_BY_KEY.setdefault(mesh_key, mesh)
     return _jitted_steps_cached(cfg, forward_fn, mesh_key)
 

@@ -178,8 +178,7 @@ def test_adjoint_gradients_match_scan():
     def loss_scan(blk):
         T = blk["sqrt_end_time"] ** 2
         logp0 = jnp.zeros(x.shape[:-1] + (1,))
-        fn = lambda t, s: continuous._cnf_field(  # noqa: E731
-            {"layers": blk["layers"], "c": c}, t, s)
+        fn = continuous.field_with_exact_div(blk["layers"], c)
         z, logp = odeint_dopri5(fn, (x, logp0), 0.0, T, 1e-5, 1e-5, 128,
                                 differentiable=True)
         return jnp.sum(z**2) + jnp.sum(logp)
