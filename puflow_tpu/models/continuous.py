@@ -223,6 +223,55 @@ def odenet_apply(layers, t, c, y, layer_type: str = "concatsquash",
 
 
 # --------------------------------------------------------------------------
+# Inference fast path: plain (divergence-free) field with the condition
+# projections hoisted out of the solver loop.
+#
+# At sampling time the log-density channel is discarded, yet the generic
+# field still pays the exact-trace divergence (3 extra JVP evaluations,
+# ~4x the plain field) on EVERY solver step. And every conditional layer
+# consumes the context only through `ctx @ w` with ctx = [t, c]: since c
+# is constant during a solve, ctx @ w == t * w[0] + (c @ w[1:]) — the
+# [B*N*r, 1+cdim] x [1+cdim, h] matmul (the dominant per-eval FLOPs for
+# cdim up to 128) collapses to a scalar-broadcast add against a tensor
+# precomputed ONCE per block. Exact same arithmetic, done once.
+# --------------------------------------------------------------------------
+def _csl_precompute(p, c):
+    return {
+        "gate_c": c @ p["hyper_gate"]["w"][1:] + p["hyper_gate"]["b"],
+        "gate_t": p["hyper_gate"]["w"][0],
+        "bias_c": c @ p["hyper_bias"]["w"][1:],
+        "bias_t": p["hyper_bias"]["w"][0],
+        "w": p["layer"]["w"],
+        "b": p["layer"]["b"],
+    }
+
+
+def field_plain_csl(layers, c, nonlinearity: str = "tanh"):
+    """(t, y) -> dy for a 'concatsquash' net with hoisted conditions.
+
+    Inference-only (no parameter gradients); exactly the math of
+    `odenet_apply` with the c-projections factored out of the loop."""
+    beta = None
+    if isinstance(layers, dict):
+        beta = layers["swish_beta"]
+        layers = layers["layers"]
+    pre = [_csl_precompute(p, c) for p in layers]
+
+    def fn(t, y):
+        t = jnp.asarray(t, y.dtype)
+        dx = y
+        for i, q in enumerate(pre):
+            gate = jax.nn.sigmoid(t * q["gate_t"] + q["gate_c"])
+            bias = t * q["bias_t"] + q["bias_c"]
+            dx = (dx @ q["w"] + q["b"]) * gate + bias
+            if i < len(pre) - 1:
+                dx = _apply_nonlinearity(nonlinearity, dx, beta)
+        return dx
+
+    return fn
+
+
+# --------------------------------------------------------------------------
 # Divergence
 # --------------------------------------------------------------------------
 def field_with_exact_div(layers, c, layer_type: str = "concatsquash",
@@ -302,9 +351,18 @@ def flow_block_init(key, cdim: int, idim: int = 3, T: float = T_INIT,
 def _integrate(block, y, c, reverse: bool, differentiable: bool,
                max_steps: int | None = None,
                layer_type: str = "concatsquash",
-               nonlinearity: str = "tanh"):
+               nonlinearity: str = "tanh", with_logp: bool = True):
     T = block["sqrt_end_time"] * block["sqrt_end_time"]
     t0, t1 = (T, 0.0) if reverse else (0.0, T)
+    if not differentiable and not with_logp and layer_type == "concatsquash":
+        # sampling fast path: no divergence channel (the caller discards
+        # logp), conditions hoisted out of the solver loop — ~4x fewer
+        # field FLOPs per step, same dopri5 tolerances
+        fn = field_plain_csl(block["layers"], c, nonlinearity)
+        yf = odeint_dopri5(fn, y, t0, t1, RTOL, ATOL,
+                           max_steps=max_steps or MAX_STEPS_EVAL,
+                           differentiable=False)
+        return yf, jnp.zeros(y.shape[:-1] + (1,), dtype=y.dtype)
     logp0 = jnp.zeros(y.shape[:-1] + (1,), dtype=y.dtype)
     fn = field_with_exact_div(block["layers"], c, layer_type, nonlinearity)
     if differentiable:
@@ -335,9 +393,13 @@ def flow_block_forward(block, x, c, differentiable: bool = True,
 def flow_block_inverse(block, z, c, differentiable: bool = False,
                        layer_type: str = "concatsquash",
                        nonlinearity: str = "tanh"):
+    # the inverse pass never consumes the log-density channel (reference
+    # `FlowBlock.inverse`, `continuous/interpflow.py:42-50` discards it
+    # too), so the non-differentiable path integrates the plain field
     x, _ = _integrate(block, z, c, reverse=True,
                       differentiable=differentiable,
-                      layer_type=layer_type, nonlinearity=nonlinearity)
+                      layer_type=layer_type, nonlinearity=nonlinearity,
+                      with_logp=differentiable)
     return x
 
 
@@ -497,9 +559,14 @@ def init(key, spec: ModelSpec = ModelSpec()):
     return params, state
 
 
-def f_transform(params, x, cs, differentiable: bool = True):
+def f_transform(params, x, cs, differentiable: bool = True,
+                need_logp: bool = True):
     log_det = jnp.zeros((x.shape[0],), dtype=jnp.float32)
     for bp, c in zip(params["flow_blocks"], cs):
+        if not need_logp and not differentiable:
+            x, _ = _integrate(bp, x, c, reverse=False, differentiable=False,
+                              with_logp=False)
+            continue
         x, ld = flow_block_forward(bp, x, c, differentiable)
         log_det = log_det + ld
     return x, log_det
@@ -537,6 +604,17 @@ def forward(params, state, xyz, upratio: int, train: bool = False,
 
 def sample(params, state, sparse, upratio: int = 4,
            spec: ModelSpec = ModelSpec(), dtype=None):
-    dense, _, _ = forward(params, state, sparse, upratio, train=False,
-                          spec=spec, dtype=dtype)
-    return dense
+    """Inference-only upsampling: both integration directions run the
+    divergence-free hoisted-condition field (the log-density outputs are
+    never consumed when sampling — reference `upsample.py` calls `sample`
+    under no_grad and discards logpx the same way)."""
+    xyz = sparse
+    knn_idx = knn_indices(xyz, xyz, spec.num_neighbors)
+    cs, _ = _discrete.feat_extract(params, state, xyz, knn_idx, False,
+                                   dtype=dtype)
+    z, _ = f_transform(params, xyz, cs, differentiable=False,
+                       need_logp=False)
+    fz, _ = interpolation_apply(
+        params["interp"], state["interp"], z, xyz, upratio, False,
+        dtype=dtype, knn_idx=knn_idx)
+    return g_transform(params, fz, cs, upratio, differentiable=False)

@@ -68,6 +68,52 @@ HDIM = 64
 
 _REVERSE3 = (2, 1, 0)  # reverse permutation of 3 channels; self-inverse
 
+# ---------------------------------------------------------------------------
+# Fused-kernel dispatch gates. The Pallas kernels hold whole per-patch
+# working sets in VMEM, so they only dispatch below these sizes; larger
+# shapes take the XLA formulation (same math, slower). The gates are
+# plain functions so tests can pin the exact boundary, and every fallback
+# on a TPU backend logs once per traced shape — no silent perf cliffs.
+# ---------------------------------------------------------------------------
+ENCODER_FUSED_MAX_NK = 8192   # N * K VMEM budget of encoder_conditions_pallas
+FLOW_G_FUSED_MAX_NR = 4096    # N * r VMEM budget of flow_g_pallas
+
+_logger = __import__("logging").getLogger("puflow_tpu.dispatch")
+_warned_shapes: set = set()
+
+
+def _log_fallback(kind: str, detail: str):
+    key = (kind, detail)
+    if key not in _warned_shapes:
+        _warned_shapes.add(key)
+        _logger.warning("fused %s kernel gate exceeded (%s); using the "
+                        "XLA fallback (same results, lower throughput)",
+                        kind, detail)
+
+
+def use_fused_encoder(n: int, k: int, backend: str | None = None) -> bool:
+    """True when the fused condition-encoder kernel dispatches for an
+    [*, n, 3] cloud with k-NN width k."""
+    backend = backend or jax.default_backend()
+    if backend == "cpu":
+        return False
+    if n * k > ENCODER_FUSED_MAX_NK:
+        _log_fallback("encoder", f"N*K = {n}*{k} > {ENCODER_FUSED_MAX_NK}")
+        return False
+    return True
+
+
+def use_fused_flow_g(n: int, r: int, backend: str | None = None) -> bool:
+    """True when the fused inverse-flow kernel dispatches for n points at
+    upratio r."""
+    backend = backend or jax.default_backend()
+    if backend == "cpu":
+        return False
+    if n * r > FLOW_G_FUSED_MAX_NR:
+        _log_fallback("inverse-flow", f"N*r = {n}*{r} > {FLOW_G_FUSED_MAX_NR}")
+        return False
+    return True
+
 
 class ModelSpec(NamedTuple):
     """Static model hyper-parameters (hashable, jit-friendly)."""
@@ -161,8 +207,8 @@ def feat_extract(params, state, xyz, knn_idx, train: bool, dtype=None):
     their outputs back to float32 before any flow arithmetic.
     """
     folded = "bn" not in params["feat_convs"][0]["convs"][0]
-    if (folded and not train and jax.default_backend() not in ("cpu",)
-            and xyz.shape[1] * knn_idx.shape[-1] <= 8192):
+    if (folded and not train
+            and use_fused_encoder(xyz.shape[1], knn_idx.shape[-1])):
         # fused single-kernel encoder (inference fast path; ~5x over the
         # XLA formulation — see ops/pallas/encoder_pallas.py)
         from puflow_tpu.ops.pallas.encoder_pallas import (
@@ -203,8 +249,7 @@ def g_transform(params, z, cs, upratio: int, fast: bool = False):
     the XLA formulation below.
     """
     B, N, C, r = z.shape
-    if (fast and jax.default_backend() not in ("cpu",)
-            and N * r <= 4096):
+    if fast and use_fused_flow_g(N, r):
         from puflow_tpu.ops.pallas.flow_pallas import flow_g_pallas
 
         # the kernel repeats the conditions internally (slot-major lane

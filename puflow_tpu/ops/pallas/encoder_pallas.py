@@ -36,6 +36,12 @@ _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 _SLOPE = 0.05  # FeatureExtractUnit LeakyReLU
 
+# Encoder MXU pass-count config consumed by `feat_extract` when it calls
+# `encoder_conditions_pallas` with precision=None: per-block tuples of
+# (gather_passes, mac_passes). None = the exact default ((2, 3) per block).
+# Changing it after a jitted caller has traced requires jax.clear_caches().
+ENCODER_PRECISION = None
+
 
 def _leaky(x):
     # == where(x > 0, x, s*x) for 0 < s < 1, one fewer VPU pass
@@ -56,31 +62,33 @@ def _split_hi_lo(x_f32):
     return hi, lo
 
 
-def _f32_dot(a, b):
-    """f32 matmul as the exact 3-pass bf16 decomposition.
+def _f32_dot(a, b, passes: int = 3):
+    """f32 matmul as an exact-ish multi-pass bf16 decomposition.
 
     Mosaic lowers a DEFAULT-precision f32 dot as a SINGLE bf16 pass, which
     cost the fused encoder ~6% relative error by block 5 (measured: the
     fixture-protocol CD inflated 0.0028 -> 0.0031+ vs the exact XLA path).
-    hi*hi + hi*lo + lo*hi recovers ~2^-22 relative error for ~2x the MXU
-    passes of bf16 — and the MACs here are 16% of the kernel's total, the
-    one-hot gathers (already exact) carry the rest.
+    hi*hi + hi*lo + lo*hi (passes=3) recovers ~2^-22 relative error for
+    ~2x the MXU passes of bf16; passes=1 is the raw bf16 pass (~2^-8) for
+    sites proven insensitive by the golden-CD gate.
     """
+    if passes == 1:
+        return _bf16_dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16))
     a_hi, a_lo = _split_hi_lo(a)
     b_hi, b_lo = _split_hi_lo(b)
     return (_bf16_dot(a_hi, b_hi) + _bf16_dot(a_hi, b_lo)
             + _bf16_dot(a_lo, b_hi))
 
 
-def _onehot_dot(onehot_bf16, b_f32):
+def _onehot_dot(onehot_bf16, b_f32, passes: int = 2):
     """Gather to ~2^-16: one-hot [p, q] bf16 x values [q, r] f32 -> [p, r]
     via the hi/lo split (two single-pass MXU matmuls). A bit-exact 3-term
     split (full 24-bit mantissa) was measured to change the fused encoder's
     deviation-vs-XLA by <0.1% while costing +19% kernel time — the
     deviation is dominated by 3-pass matmul rounding amplified through the
-    condition pyramid, not by the gather."""
+    condition pyramid, not by the gather. `passes=1` gathers the bf16
+    rounding of the values (one MXU pass, ~2^-8)."""
     hi = b_f32.astype(jnp.bfloat16)
-    lo = (b_f32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     def dot(b):
         # explicit DEFAULT precision: the global 'highest' matmul policy
@@ -89,6 +97,9 @@ def _onehot_dot(onehot_bf16, b_f32):
                                    preferred_element_type=jnp.float32,
                                    precision=jax.lax.Precision.DEFAULT)
 
+    if passes == 1:
+        return dot(hi)
+    lo = (b_f32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return dot(hi) + dot(lo)
 
 
@@ -98,8 +109,10 @@ def _tile_rows(a, k):
 
 
 def _encoder_kernel(xyz_ref, idx_ref, *refs, n: int, k: int,
-                    growths, odims):
+                    growths, odims, precision=None):
     num_blocks = len(odims)
+    if precision is None:
+        precision = ((2, 3),) * num_blocks
     weight_refs = refs[:-num_blocks]
     out_refs = refs[-num_blocks:]
 
@@ -121,6 +134,7 @@ def _encoder_kernel(xyz_ref, idx_ref, *refs, n: int, k: int,
         return r
 
     for b in range(num_blocks):
+        gather_passes, mac_passes = precision[b]
         n_layers = len(growths[b])
         w_self = take()                                    # [C, Gt]
         w_nbr = take()                                     # [C, Gt]
@@ -132,7 +146,8 @@ def _encoder_kernel(xyz_ref, idx_ref, *refs, n: int, k: int,
         # the low-C blocks but measured SLOWER (the 3-pass projection's
         # hi/lo splits of the big [k*n, C] activation are VPU-bound);
         # project-then-gather stays.
-        p_nbr = _onehot_dot(onehot, _f32_dot(x, w_nbr))    # [k*n, Gt]
+        p_nbr = _onehot_dot(onehot, _f32_dot(x, w_nbr),
+                            passes=gather_passes)          # [k*n, Gt]
         # fold the self term in with ONE slot-broadcast add (slot-major
         # rows: leading-dim reshape is free) instead of materialising a
         # k-tiled copy of p_self and adding two operands per layer slice
@@ -144,8 +159,10 @@ def _encoder_kernel(xyz_ref, idx_ref, *refs, n: int, k: int,
         # dot is pure VPU waste — each new piece splits exactly once
         hc_hi = hc_lo = None
 
-        def hc_dot(w):
+        def hc_dot(w, mac_passes=mac_passes):
             w_hi, w_lo = _split_hi_lo(w)
+            if mac_passes == 1:
+                return _bf16_dot(hc_hi, w_hi)
             return (_bf16_dot(hc_hi, w_hi) + _bf16_dot(hc_hi, w_lo)
                     + _bf16_dot(hc_lo, w_hi))
 
@@ -155,12 +172,17 @@ def _encoder_kernel(xyz_ref, idx_ref, *refs, n: int, k: int,
             if j > 0:
                 h = h + hc_dot(take())                     # [P_j, G_j]
             h = _leaky(h)
-            h_hi, h_lo = _split_hi_lo(h)
+            if mac_passes == 1:
+                h_hi = h.astype(jnp.bfloat16)
+                h_lo = None
+            else:
+                h_hi, h_lo = _split_hi_lo(h)
             if hc_hi is None:
                 hc_hi, hc_lo = h_hi, h_lo
             else:
                 hc_hi = jnp.concatenate([hc_hi, h_hi], axis=1)
-                hc_lo = jnp.concatenate([hc_lo, h_lo], axis=1)
+                if h_lo is not None:
+                    hc_lo = jnp.concatenate([hc_lo, h_lo], axis=1)
             offset += g
 
         f = p[:, offset:] + take()                         # out bias
@@ -213,17 +235,22 @@ def _block_weights(params):
     return out, (tuple(meta_growths), tuple(meta_odims), tuple(meta_cdims))
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
+@functools.partial(jax.jit, static_argnums=(3, 4))
 def encoder_conditions_pallas(params, xyz: jax.Array, knn_idx: jax.Array,
-                              interpret: bool = False):
+                              interpret: bool = False, precision=None):
     """Fused condition encoder: xyz [B, n, 3], idx [B, n, k] -> list of
-    [B, n, cdim_i] condition tensors. `params` must be BN-folded."""
+    [B, n, cdim_i] condition tensors. `params` must be BN-folded.
+
+    `precision`: optional per-block tuple of (gather_passes, mac_passes)
+    MXU pass counts; None = the exact default ((2, 3) per block)."""
     B, n, _ = xyz.shape
     k = knn_idx.shape[-1]
     weights, (growths, odims, cdims) = _block_weights(params)
 
+    if precision is None:
+        precision = ENCODER_PRECISION
     kernel = functools.partial(_encoder_kernel, n=n, k=k, growths=growths,
-                               odims=odims)
+                               odims=odims, precision=precision)
     num_blocks = len(odims)
     # slot-major flatten: row s*n + p holds neighbour s of point p
     idx_sm = jnp.swapaxes(knn_idx.astype(jnp.int32), 1, 2).reshape(

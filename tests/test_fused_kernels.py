@@ -98,6 +98,60 @@ def test_interp_latents_kernel_matches_xla(folded):
     assert err < 5e-4, err
 
 
+def test_dispatch_gate_boundaries(caplog):
+    """Pin the exact fused-kernel dispatch boundaries and the fallback log.
+
+    The fused encoder dispatches iff N*K <= 8192 and the fused inverse flow
+    iff N*r <= 4096 (VMEM working-set budgets); shapes just above each gate
+    must fall back with a one-line warning — never silently.
+    """
+    import logging
+
+    from puflow_tpu.models.discrete import (
+        ENCODER_FUSED_MAX_NK,
+        FLOW_G_FUSED_MAX_NR,
+        _warned_shapes,
+        use_fused_encoder,
+        use_fused_flow_g,
+    )
+
+    assert ENCODER_FUSED_MAX_NK == 8192
+    assert FLOW_G_FUSED_MAX_NR == 4096
+    # at the boundary: dispatches (on a TPU backend)
+    assert use_fused_encoder(512, 16, backend="tpu")
+    assert use_fused_flow_g(1024, 4, backend="tpu")
+    # never on CPU (kernels are TPU Mosaic programs)
+    assert not use_fused_encoder(512, 16, backend="cpu")
+    assert not use_fused_flow_g(1024, 4, backend="cpu")
+    # just above: falls back and logs once
+    _warned_shapes.clear()
+    with caplog.at_level(logging.WARNING, logger="puflow_tpu.dispatch"):
+        assert not use_fused_encoder(513, 16, backend="tpu")
+        assert not use_fused_flow_g(1025, 4, backend="tpu")
+        assert not use_fused_encoder(513, 16, backend="tpu")  # dedup
+    gate_logs = [r for r in caplog.records if "fused" in r.message]
+    assert len(gate_logs) == 2, [r.message for r in gate_logs]
+
+
+def test_flow_g_above_gate_falls_back_identically(folded):
+    """A shape just above the N*r gate takes the XLA fallback inside
+    g_transform(fast=True): identical to the explicit XLA path (the kernel's
+    slot-major tiling is only specified below the gate — that is WHY the
+    gate exists)."""
+    from puflow_tpu.models import discrete
+
+    params, _ = folded
+    B, n, r = 1, 1032, 4  # N*r = 4128 > 4096
+    assert not discrete.use_fused_flow_g(n, r, backend="tpu")
+    z = jax.random.normal(jax.random.PRNGKey(7), (B, n, 3, r)) * 0.5
+    cs = [jax.random.normal(jax.random.PRNGKey(20 + i), (B, n, c)) * 0.5
+          for i, c in enumerate([32, 64, 128, 128, 128, 128])]
+    # fast=True must produce the same result as the explicit XLA path
+    x_fast = discrete.g_transform(params, z, cs, r, fast=True)
+    x_ref = discrete.g_transform(params, z, cs, r, fast=False)
+    np.testing.assert_array_equal(np.asarray(x_fast), np.asarray(x_ref))
+
+
 def test_flow_g_kernel_matches_xla(folded):
     from puflow_tpu.models import discrete
     from puflow_tpu.ops.pallas.flow_pallas import flow_g_pallas
