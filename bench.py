@@ -112,9 +112,14 @@ def main():
 
     model_params = (params, state)
 
+    # voxel pre-reduced merge: half the patch-union candidates (the union
+    # carries ~5x overlap); CD-gated vs the executed reference
+    # (scripts/check_fused_parity.py)
+    merge_cand = n_patch_per_cloud * 256 * (R + 1) // 2
+
     def run(pc):
         return upsample_cloud(model_params, pc, sample_fn, npoint, R, 256,
-                              4.0)
+                              4.0, merge_cand)
 
     import numpy as np
 

@@ -89,6 +89,12 @@ def main(argv=None):
 
     for n, items in sorted(by_n.items()):
         npoint = (args.num_out or n * args.up_ratio) + args.num_outlier
+        # fast path: voxel pre-reduced merge (half the ~5x-overlapped
+        # patch-union candidates; CD-gated vs the executed reference —
+        # scripts/check_fused_parity.py). --exact keeps the full merge.
+        n_patch = int(n / args.num_patch * 4)
+        merge_cand = (None if args.exact else
+                      n_patch * args.num_patch * (args.up_ratio + 1) // 2)
         # batch same-size clouds through one jit call (pad the tail batch
         # so every batch reuses the same compilation)
         bsz = max(1, args.batch)
@@ -103,7 +109,7 @@ def main(argv=None):
             clouds = jnp.asarray(clouds)
             pred = upsample_cloud(
                 model_params, clouds, sample_fn, npoint, args.up_ratio,
-                args.num_patch, 4.0)
+                args.num_patch, 4.0, merge_cand)
             if args.num_outlier > 0:
                 pred = remove_outliers(pred, clouds, args.num_outlier)
             prev, pending = pending, (chunk, pred)

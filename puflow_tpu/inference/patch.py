@@ -65,6 +65,50 @@ def merge_patches(points: jax.Array, npoint: int) -> jax.Array:
     return gather_points(points, idx)
 
 
+def _voxel_candidates(pts: jax.Array, n_cand: int, grid: int,
+                      hash_size: int) -> jax.Array:
+    """First-in-voxel candidate indices for one cloud ([M, 3] -> [n_cand]).
+
+    Voxel ids are hashed into a fixed table (scatter-min by original
+    index); hash collisions merge distinct voxels, dropping a few percent
+    extra candidates — harmless for coverage, which is all FPS needs.
+    Slots beyond the occupied-voxel count fall back to point 0 (an already
+    -present candidate; never selected while distinct candidates remain).
+    """
+    M = pts.shape[0]
+    q = jnp.clip(((pts + 1.5) * (grid / 3.0)).astype(jnp.int32), 0,
+                 grid - 1)
+    vid = (q[:, 0] * grid + q[:, 1]) * grid + q[:, 2]
+    h = (vid * jnp.uint32(2654435761)).astype(jnp.uint32) % hash_size
+    arange = jnp.arange(M, dtype=jnp.int32)
+    table = jnp.full((hash_size,), M, jnp.int32).at[h].min(arange)
+    first = table[h] == arange                              # [M] bool
+    pos = jnp.cumsum(first) - 1
+    tgt = jnp.where(first & (pos < n_cand), pos, n_cand)
+    return jnp.zeros((n_cand,), jnp.int32).at[tgt].set(arange, mode="drop")
+
+
+def merge_patches_approx(points: jax.Array, npoint: int, n_cand: int,
+                         grid: int = 128) -> jax.Array:
+    """Merge with voxel pre-reduction: dedup the overlap-heavy patch union
+    to `n_cand` spatial candidates (one representative per occupied voxel,
+    original points — nothing is snapped), then exact FPS on the survivors.
+
+    The exact merge FPS is VPU-bound at ~2.9 us per selection step with
+    cost proportional to the candidate count; the patch union carries ~5x
+    overlap (`expand_ratio * (upratio+1)/upratio`), so halving candidates
+    halves the dominant pipeline stage. Approximation is CD-gated against
+    the executed reference (scripts/check_fused_parity.py) — the `--exact`
+    CLI path keeps the unreduced merge.
+    """
+    hash_size = 4 * points.shape[1]
+    cand_idx = jax.vmap(
+        lambda p: _voxel_candidates(p, n_cand, grid, hash_size))(points)
+    cand = gather_points(points, cand_idx)
+    idx = farthest_point_sample(cand, npoint)
+    return gather_points(cand, idx)
+
+
 def remove_outliers(sr: jax.Array, lr: jax.Array, num_outliers: int):
     """Drop the `num_outliers` sr-points farthest from lr, preserving order.
 
@@ -95,7 +139,7 @@ def jitter_cloud(key, pc: jax.Array, sigma: float = 0.010,
 
 def upsample_cloud_impl(model_params, pc: jax.Array, sample_fn, npoint: int,
                         upratio: int = 4, patch_size: int = 256,
-                        expand_ratio: float = 4.0,
+                        expand_ratio: float = 4.0, merge_candidates=None,
                         jitter_key=None) -> jax.Array:
     """Upsample whole clouds patch-wise.
 
@@ -126,11 +170,14 @@ def upsample_cloud_impl(model_params, pc: jax.Array, sample_fn, npoint: int,
     pred = pred * furthest + centroids
     pred = pred.reshape(B, -1, C)                          # [B, P*k*(r+1), 3]
 
-    merged = merge_patches(pred, npoint)                   # [B, npoint, 3]
+    if merge_candidates:
+        merged = merge_patches_approx(pred, npoint, merge_candidates)
+    else:
+        merged = merge_patches(pred, npoint)               # [B, npoint, 3]
     return merged * g_furthest + g_centroid
 
 
-upsample_cloud = partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))(
+upsample_cloud = partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))(
     upsample_cloud_impl)
 
 
@@ -148,7 +195,7 @@ def upsample_cloud_sharded(mesh, model_params, pc, sample_fn, npoint: int,
 
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
-    fn = jax.jit(upsample_cloud_impl, static_argnums=(2, 3, 4, 5, 6),
+    fn = jax.jit(upsample_cloud_impl, static_argnums=(2, 3, 4, 5, 6, 7),
                  in_shardings=(rep, bsh), out_shardings=bsh)
     return fn(jax.device_put(model_params, rep), jax.device_put(pc, bsh),
               sample_fn, npoint, upratio, patch_size, expand_ratio)

@@ -3,11 +3,12 @@
 The XLA formulation (`puflow_tpu.ops.emd`) re-reads the [n, m] distance
 matrix from HBM on every one of the 50 auction iterations (~13 GB of
 traffic at training shapes; measured 599 ms for [32, 1024]). Here only the
-raw [n, 3] coordinates enter the kernel; the value matrix
-``3 - |x1 - x2| - price`` is REcomputed each iteration (a 2 MFLOP MXU
-matmul — far cheaper than holding a second 4 MB buffer in VMEM), and each
-iteration is otherwise pure VPU work: row top-2, per-column winner,
-masked vector updates.
+raw [n, 3] coordinates enter the kernel; the base value matrix
+``3 - |x1 - x2|`` is computed ONCE into a VMEM scratch (4 MB at training
+shapes — recomputing it per iteration costs ~6 VPU passes including a
+[n, m] sqrt, measured ~40% of the iteration), and each iteration is pure
+VPU work: subtract prices, row top-2, per-column winner, masked vector
+updates.
 
 Semantics identical to the dense reference reformulation (see
 `ops/emd.py`, mirroring `metric/emd/emd_cuda.cu`): one winner per target
@@ -29,7 +30,7 @@ _NEG_BIG = -1e9
 
 
 def _auction_kernel(xyz1_ref, xyz2_ref, assign_out_ref, dist_out_ref,
-                    price_ref, inv_ref, assign_ref, *, eps: float,
+                    price_ref, inv_ref, assign_ref, base_ref, *, eps: float,
                     iters: int, n: int, m: int):
     colio = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
     rowio = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
@@ -42,15 +43,18 @@ def _auction_kernel(xyz1_ref, xyz2_ref, assign_out_ref, dist_out_ref,
     sq1 = jnp.sum(x1 * x1, axis=1, keepdims=True)          # [n, 1]
     sq2 = jnp.sum(x2 * x2, axis=1, keepdims=True)          # [m, 1]
 
-    def base_matrix():
-        cross = jax.lax.dot_general(
-            x1, x2, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)            # [n, m]
-        d2 = jnp.maximum(sq1 + jnp.transpose(sq2) - 2.0 * cross, 0.0)
-        return 3.0 - jnp.sqrt(d2)
+    # The base value matrix 3 - |x1 - x2| is constant across iterations;
+    # cache it in VMEM ONCE (4 MB at [1024, 1024]) — recomputing it per
+    # iteration (matmul + d2 + a 1M-element sqrt, ~6 VPU passes) was ~40%
+    # of the iteration cost.
+    cross = jax.lax.dot_general(
+        x1, x2, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [n, m]
+    d2 = jnp.maximum(sq1 + jnp.transpose(sq2) - 2.0 * cross, 0.0)
+    base_ref[...] = 3.0 - jnp.sqrt(d2)
 
     def body(it, _):
-        value = base_matrix() - price_ref[...]              # [n, m]
+        value = base_ref[...] - price_ref[...]              # [n, m]
         m1 = jnp.max(value, axis=1, keepdims=True)          # [n, 1]
         idx1 = jnp.argmax(value, axis=1).astype(jnp.int32)[:, None]
         m2 = jnp.max(jnp.where(colio == idx1, _NEG_BIG, value), axis=1,
@@ -125,6 +129,7 @@ def emd_auction_pallas(xyz1: jax.Array, xyz2: jax.Array,
             pltpu.VMEM((1, m), jnp.float32),   # price
             pltpu.VMEM((1, m), jnp.int32),     # assignment_inv
             pltpu.VMEM((n, 1), jnp.int32),     # assignment
+            pltpu.VMEM((n, m), jnp.float32),   # cached base value matrix
         ],
         interpret=interpret,
     )(xyz1.astype(jnp.float32), xyz2.astype(jnp.float32))

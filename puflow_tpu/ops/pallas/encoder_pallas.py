@@ -36,11 +36,26 @@ _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 _SLOPE = 0.05  # FeatureExtractUnit LeakyReLU
 
-# Encoder MXU pass-count config consumed by `feat_extract` when it calls
-# `encoder_conditions_pallas` with precision=None: per-block tuples of
-# (gather_passes, mac_passes). None = the exact default ((2, 3) per block).
-# Changing it after a jitted caller has traced requires jax.clear_caches().
-ENCODER_PRECISION = None
+# Encoder MXU pass-count configs: per-block tuples of
+# (gather_passes, mac_passes).
+#
+# EXACT_PRECISION keeps every in-kernel matmul at the exact multi-pass bf16
+# decomposition. FAST_PRECISION drops block 1+ to single-pass bf16 — 38%
+# faster (46.3 -> 28.8 ms at 256 patches, round-3 sweep) — and is the
+# fused-path default because the end-to-end golden gate showed the
+# pipeline CD vs the executed torch reference is INSENSITIVE to it
+# (exact 4.75e-4, fast 4.55e-4 on the 512-pt cloud; the residual is
+# cross-framework fp chaos, not kernel precision — scripts/
+# exp_encoder_cd.py). Block 0 stays exact: its output feeds every later
+# block's input recursion. Bit-parity needs (`--exact` CLI path, golden
+# unit tests) bypass the fused kernel entirely or pin EXACT_PRECISION.
+#
+# `feat_extract` consults ENCODER_PRECISION when calling with
+# precision=None; changing it after a jitted caller has traced requires
+# jax.clear_caches().
+EXACT_PRECISION = ((2, 3),) * 6
+FAST_PRECISION = ((2, 3),) + ((1, 1),) * 5
+ENCODER_PRECISION = FAST_PRECISION
 
 
 def _leaky(x):

@@ -68,6 +68,108 @@ def torus_mesh(nu: int = 96, nv: int = 48, R: float = 1.0, r: float = 0.4):
     return verts, np.asarray(faces, dtype=np.int64)
 
 
+def uv_mesh(fxyz, nu: int, nv: int, wrap_u: bool = True,
+            wrap_v: bool = False):
+    """Generic UV-grid triangle mesh from a parametric surface.
+
+    fxyz: (u, v arrays in [0,1]) -> [..., 3] vertices. `wrap_*` closes the
+    seam on that axis (torus-like topology when both wrap).
+    """
+    u = np.linspace(0, 1, nu, endpoint=not wrap_u)
+    v = np.linspace(0, 1, nv, endpoint=not wrap_v)
+    uu, vv = np.meshgrid(u, v, indexing="ij")
+    verts = fxyz(uu, vv).reshape(-1, 3)
+    mu = nu if wrap_u else nu - 1
+    mv = nv if wrap_v else nv - 1
+    faces = []
+    for i in range(mu):
+        for j in range(mv):
+            a = i * nv + j
+            b = ((i + 1) % nu) * nv + j
+            c = ((i + 1) % nu) * nv + (j + 1) % nv
+            d = i * nv + (j + 1) % nv
+            faces += [(a, b, c), (a, c, d)]
+    return verts, np.asarray(faces, dtype=np.int64)
+
+
+def _spow(x, e):
+    return np.sign(x) * np.abs(x) ** e
+
+
+def superellipsoid(e1: float, e2: float, scales):
+    """Superquadric surface (Barr 1981), poles slightly inset to keep the
+    UV mesh non-degenerate."""
+    sx, sy, sz = scales
+
+    def f(uu, vv):
+        th = (vv - 0.5) * np.pi * 0.98          # latitude, pole-inset
+        ph = uu * 2 * np.pi                     # longitude (wraps)
+        x = sx * _spow(np.cos(th), e1) * _spow(np.cos(ph), e2)
+        y = sy * _spow(np.cos(th), e1) * _spow(np.sin(ph), e2)
+        z = sz * _spow(np.sin(th), e1)
+        return np.stack([x, y, z], -1)
+
+    return uv_mesh(f, 80, 60, wrap_u=True, wrap_v=False)
+
+
+def bumpy_sphere(amp: float, ku: int, kv: int):
+    """Sphere with a deterministic radial modulation field."""
+
+    def f(uu, vv):
+        th = (vv - 0.5) * np.pi * 0.98
+        ph = uu * 2 * np.pi
+        r = 1.0 + amp * np.sin(ku * ph) * np.cos(kv * th)
+        x = r * np.cos(th) * np.cos(ph)
+        y = r * np.cos(th) * np.sin(ph)
+        z = r * np.sin(th)
+        return np.stack([x, y, z], -1)
+
+    return uv_mesh(f, 96, 64, wrap_u=True, wrap_v=False)
+
+
+def varied_torus(R: float, r: float, wobble: float = 0.0, k: int = 3):
+    """Torus with optional tube-radius wobble along the ring."""
+
+    def f(uu, vv):
+        ph = uu * 2 * np.pi
+        th = vv * 2 * np.pi
+        rr = r * (1.0 + wobble * np.sin(k * ph))
+        x = (R + rr * np.cos(th)) * np.cos(ph)
+        y = (R + rr * np.cos(th)) * np.sin(ph)
+        z = rr * np.sin(th)
+        return np.stack([x, y, z], -1)
+
+    return uv_mesh(f, 96, 48, wrap_u=True, wrap_v=True)
+
+
+def fixture_shapes(n_shapes: int):
+    """Deterministic shape zoo: the first two keep their round-1 names
+    (sphere/torus fixture compatibility); the rest cycles three parametric
+    families with varied parameters, protocol-scale (127 for the PU1K
+    dress rehearsal, `evaluation/eval_pu1k.sh`'s 127 meshes)."""
+    shapes = {"sphere": icosphere(4), "torus": torus_mesh()}
+    i = 0
+    while len(shapes) < n_shapes:
+        fam = i % 3
+        j = i // 3
+        if fam == 0:
+            e1 = 0.4 + 0.12 * (j % 7)
+            e2 = 0.4 + 0.17 * (j // 7 % 7)
+            sc = (1.0, 0.75 + 0.05 * (j % 5), 0.6 + 0.06 * (j % 6))
+            shapes[f"superq_{j:03d}"] = superellipsoid(e1, e2, sc)
+        elif fam == 1:
+            amp = 0.05 + 0.02 * (j % 6)
+            shapes[f"bumpy_{j:03d}"] = bumpy_sphere(amp, 2 + j % 5,
+                                                    2 + j % 4)
+        else:
+            R = 1.0
+            r = 0.25 + 0.05 * (j % 5)
+            wob = 0.0 if j % 2 == 0 else 0.15
+            shapes[f"torus_{j:03d}"] = varied_torus(R, r, wob, 2 + j % 4)
+        i += 1
+    return shapes
+
+
 def sample_surface(rng, verts, faces, n):
     """Uniform area-weighted surface sampling."""
     v0, v1, v2 = (verts[faces[:, i]] for i in range(3))
@@ -91,10 +193,11 @@ def save_off(path, verts, faces):
 
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "fixtures"
+    n_shapes = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     for d in ("mesh", "gt", "input"):
         os.makedirs(os.path.join(out, d), exist_ok=True)
     rng = np.random.RandomState(0)
-    shapes = {"sphere": icosphere(4), "torus": torus_mesh()}
+    shapes = fixture_shapes(n_shapes)
     for name, (verts, faces) in shapes.items():
         save_off(os.path.join(out, "mesh", f"{name}.off"), verts, faces)
         gt = sample_surface(rng, verts, faces, 8192)
@@ -102,7 +205,9 @@ def main():
         np.savetxt(os.path.join(out, "gt", f"{name}.xyz"), gt, fmt="%.6f")
         np.savetxt(os.path.join(out, "input", f"{name}.xyz"), inp,
                    fmt="%.6f")
-    print(f"fixtures written to {out}: {list(shapes)}")
+    names = list(shapes)
+    shown = names if len(names) <= 6 else names[:3] + ["..."] + names[-2:]
+    print(f"fixtures written to {out}: {len(names)} shapes ({shown})")
 
 
 if __name__ == "__main__":

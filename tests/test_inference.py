@@ -140,3 +140,33 @@ def test_upsample_cloud_sharded_matches_single():
                                      4.0)
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
                                atol=2e-4)
+
+
+def test_merge_patches_approx_invariants():
+    """Voxel pre-reduced merge: outputs are original points (nothing
+    snapped), all distinct, and close (CD) to the exact merge."""
+    from puflow_tpu.inference.patch import merge_patches, merge_patches_approx
+
+    rng = np.random.RandomState(0)
+    base = rng.randn(1024, 3).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # 5x overlapped union, like the patch-merge input
+    pts = np.concatenate(
+        [base + rng.randn(1024, 3).astype(np.float32) * 1e-3
+         for _ in range(5)], 0)
+    clouds = jnp.asarray(np.stack([pts, pts[::-1]]))        # [2, 5120, 3]
+
+    exact = np.asarray(merge_patches(clouds, 1024))
+    approx = np.asarray(merge_patches_approx(clouds, 1024, 2560))
+    for b in range(2):
+        src = np.asarray(clouds[b])
+        # subset of original points (exact membership)
+        d = np.abs(approx[b][:, None, :] - src[None]).sum(-1).min(1)
+        assert d.max() == 0.0
+        # all distinct
+        uniq = np.unique(approx[b], axis=0)
+        assert len(uniq) == approx[b].shape[0]
+        # close to the exact merge
+        dd = ((approx[b][:, None] - exact[b][None]) ** 2).sum(-1)
+        cd = dd.min(1).mean() + dd.min(0).mean()
+        assert cd < 5e-4, cd
