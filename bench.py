@@ -112,14 +112,12 @@ def main():
 
     model_params = (params, state)
 
-    # voxel pre-reduced merge: half the patch-union candidates (the union
-    # carries ~5x overlap); CD-gated vs the executed reference
-    # (scripts/check_fused_parity.py)
-    merge_cand = n_patch_per_cloud * 256 * (R + 1) // 2
-
+    # exact merge: voxel pre-reduction measured cost-neutral at this shape
+    # (the scatter/gather dedup cancels the FPS saving) and strided
+    # thinning failed the golden CD gate — see inference/patch.py
     def run(pc):
         return upsample_cloud(model_params, pc, sample_fn, npoint, R, 256,
-                              4.0, merge_cand)
+                              4.0)
 
     import numpy as np
 

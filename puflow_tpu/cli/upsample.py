@@ -89,12 +89,10 @@ def main(argv=None):
 
     for n, items in sorted(by_n.items()):
         npoint = (args.num_out or n * args.up_ratio) + args.num_outlier
-        # fast path: voxel pre-reduced merge (half the ~5x-overlapped
-        # patch-union candidates; CD-gated vs the executed reference —
-        # scripts/check_fused_parity.py). --exact keeps the full merge.
-        n_patch = int(n / args.num_patch * 4)
-        merge_cand = (None if args.exact else
-                      n_patch * args.num_patch * (args.up_ratio + 1) // 2)
+        # both paths keep the exact merge: voxel pre-reduction measured
+        # cost-neutral and strided thinning failed the golden CD gate
+        # (see inference/patch.py)
+        merge_cand = None
         # batch same-size clouds through one jit call (pad the tail batch
         # so every batch reuses the same compilation)
         bsz = max(1, args.batch)

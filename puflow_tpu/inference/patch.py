@@ -171,6 +171,14 @@ def upsample_cloud_impl(model_params, pc: jax.Array, sample_fn, npoint: int,
     pred = pred.reshape(B, -1, C)                          # [B, P*k*(r+1), 3]
 
     if merge_candidates:
+        # Voxel pre-reduction (CD-gated). Round-3 measurements on the real
+        # chip: the scatter/gather dedup cost roughly cancels the
+        # merge-FPS saving (headline unchanged within noise), and the
+        # cheaper strided-thinning alternative FAILED the golden gate
+        # (CD 1.6e-3 vs voxel's 6.7e-4 — FPS from a thinned pool loses
+        # uniformity that voxel dedup preserves). Default pipelines
+        # therefore keep the exact merge; this stays for callers with
+        # larger unions where the trade flips.
         merged = merge_patches_approx(pred, npoint, merge_candidates)
     else:
         merged = merge_patches(pred, npoint)               # [B, npoint, 3]

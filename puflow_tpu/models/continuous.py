@@ -358,6 +358,18 @@ def _integrate(block, y, c, reverse: bool, differentiable: bool,
         # sampling fast path: no divergence channel (the caller discards
         # logp), conditions hoisted out of the solver loop — ~4x fewer
         # field FLOPs per step, same dopri5 tolerances
+        R = y.shape[0] * y.shape[1]
+        if (nonlinearity == "tanh" and not isinstance(block["layers"], dict)
+                and jax.default_backend() not in ("cpu",) and R <= 32768):
+            # whole-solve fused kernel: the XLA path is per-op-launch
+            # bound (~20 HLOs per field eval x 7 stages x ~6 steps);
+            # one Pallas launch runs the full adaptive loop
+            # (ops/pallas/cnf_pallas.py; matches this path to ~5e-7)
+            from puflow_tpu.ops.pallas.cnf_pallas import cnf_solve_pallas
+
+            yf = cnf_solve_pallas(block["layers"], c, y, T, reverse,
+                                  RTOL, ATOL)
+            return yf, jnp.zeros(y.shape[:-1] + (1,), dtype=y.dtype)
         fn = field_plain_csl(block["layers"], c, nonlinearity)
         yf = odeint_dopri5(fn, y, t0, t1, RTOL, ATOL,
                            max_steps=max_steps or MAX_STEPS_EVAL,

@@ -74,11 +74,8 @@ def main():
         mp = (jax.tree.map(jnp.asarray, params),
               jax.tree.map(jnp.asarray, state))
         cloud = jnp.asarray(pts)[None]
-        # fused path mirrors the CLI: voxel pre-reduced merge (half the
-        # patch-union candidates); --exact keeps the full merge
-        merge_cand = None if exact else 8 * 256 * 5 // 2
         ours = upsample_cloud(mp, cloud, sample_fn, 512 * 4 + 24, 4, 256,
-                              4.0, merge_cand)
+                              4.0)
         return np.asarray(remove_outliers(ours, cloud, 24))[0]
 
     def cd(a, b):

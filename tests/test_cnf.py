@@ -190,3 +190,24 @@ def test_adjoint_gradients_match_scan():
         lambda a, b: float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-8)),
         ga, gs)
     assert max(jax.tree.leaves(rel)) < 2e-2
+
+
+def test_cnf_solve_kernel_matches_xla_solver():
+    """The whole-solve fused dopri5 kernel (interpret mode) matches the
+    XLA adaptive solver on the plain concatsquash field, both directions."""
+    from puflow_tpu.models.continuous import field_plain_csl, odenet_init
+    from puflow_tpu.models.ode import odeint_dopri5
+    from puflow_tpu.ops.pallas.cnf_pallas import cnf_solve_pallas
+
+    layers = odenet_init(jax.random.PRNGKey(0), 3, 32)
+    B, N = 2, 100
+    c = jax.random.normal(jax.random.PRNGKey(1), (B, N, 32)) * 0.5
+    y = jax.random.normal(jax.random.PRNGKey(2), (B, N, 3)) * 0.5
+    T = 0.47
+    fn = field_plain_csl(layers, c)
+    for reverse in (False, True):
+        t0, t1 = (T, 0.0) if reverse else (0.0, T)
+        ref = odeint_dopri5(fn, y, t0, t1, 1e-5, 1e-5,
+                            differentiable=False)
+        got = cnf_solve_pallas(layers, c, y, T, reverse, 1e-5, 1e-5, True)
+        assert float(jnp.abs(ref - got).max()) < 5e-6
