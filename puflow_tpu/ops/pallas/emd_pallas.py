@@ -28,6 +28,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_BIG = -1e9
 
+# The cached base matrix (4 MB at [1024, 1024]) plus the per-iteration
+# value/bid temporaries exceed the default 16 MB scoped-VMEM limit.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
+
 
 def _auction_kernel(xyz1_ref, xyz2_ref, assign_out_ref, dist_out_ref,
                     price_ref, inv_ref, assign_ref, base_ref, *, eps: float,
@@ -132,5 +136,6 @@ def emd_auction_pallas(xyz1: jax.Array, xyz2: jax.Array,
             pltpu.VMEM((n, m), jnp.float32),   # cached base value matrix
         ],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(xyz1.astype(jnp.float32), xyz2.astype(jnp.float32))
     return dist[..., 0], assign[..., 0]

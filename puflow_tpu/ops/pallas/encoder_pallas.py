@@ -63,12 +63,14 @@ def _leaky(x):
     return jnp.maximum(x, _SLOPE * x)
 
 
-def _bf16_dot(a_bf16, b_bf16):
+def _bf16_dot(a_bf16, b_bf16, out_dtype=jnp.float32):
     # explicit DEFAULT precision: the global 'highest' matmul policy would
-    # otherwise reach the bf16 dot and break Mosaic lowering
-    return jax.lax.dot_general(a_bf16, b_bf16, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.DEFAULT)
+    # otherwise reach the bf16 dot and break Mosaic lowering. Mosaic
+    # requires a 32-bit accumulator, so bf16 outputs cast after the dot.
+    out = jax.lax.dot_general(a_bf16, b_bf16, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.DEFAULT)
+    return out if out_dtype == jnp.float32 else out.astype(out_dtype)
 
 
 def _split_hi_lo(x_f32):
@@ -123,6 +125,13 @@ def _tile_rows(a, k):
     return jnp.concatenate([a] * k, axis=0)
 
 
+# Opt-in: run single-pass-precision encoder blocks with NATIVE bf16
+# elementwise (bias/leaky/concat/K-pool) as well as bf16 matmuls.
+# Consulted at trace time by _encoder_kernel; see the block comment there
+# for the measured (bad) speed/quality trade that keeps this off.
+FAST_ELEMENTWISE = False
+
+
 def _encoder_kernel(xyz_ref, idx_ref, *refs, n: int, k: int,
                     growths, odims, precision=None):
     num_blocks = len(odims)
@@ -150,19 +159,35 @@ def _encoder_kernel(xyz_ref, idx_ref, *refs, n: int, k: int,
 
     for b in range(num_blocks):
         gather_passes, mac_passes = precision[b]
+        # fully-bf16 block: when every matmul in the block is single-pass
+        # AND the opt-in FAST_ELEMENTWISE flag is set, the elementwise
+        # pipeline (bias/leaky/concat/K-pool) runs NATIVELY in bf16 too —
+        # the matmul inputs were bf16-quantised anyway, and packed bf16
+        # doubles VPU elementwise throughput. Measured (round 3): only ~6%
+        # end-to-end model speedup (inside tunnel variance) for a golden-CD
+        # cost of 4.55e-4 -> 7.16e-4 vs the executed reference — still
+        # under the 1e-3 fused gate, but a bad trade, so OFF by default.
+        fast = gather_passes == 1 and mac_passes == 1 and FAST_ELEMENTWISE
+        dt = jnp.bfloat16 if fast else jnp.float32
         n_layers = len(growths[b])
         w_self = take()                                    # [C, Gt]
         w_nbr = take()                                     # [C, Gt]
         gt = w_nbr.shape[1]
 
-        p_self = _f32_dot(x, w_self)                       # [n, Gt]
-        # NOTE: gathering the raw features first and projecting after
-        # (2*n*C + 3*C*Gt MAC-passes vs 2*n*Gt) looked cheaper on paper for
-        # the low-C blocks but measured SLOWER (the 3-pass projection's
-        # hi/lo splits of the big [k*n, C] activation are VPU-bound);
-        # project-then-gather stays.
-        p_nbr = _onehot_dot(onehot, _f32_dot(x, w_nbr),
-                            passes=gather_passes)          # [k*n, Gt]
+        if fast:
+            xb = x.astype(jnp.bfloat16)
+            p_self = _bf16_dot(xb, w_self.astype(jnp.bfloat16), dt)
+            proj = _bf16_dot(xb, w_nbr.astype(jnp.bfloat16), jnp.bfloat16)
+            p_nbr = _bf16_dot(onehot, proj, dt)            # [k*n, Gt]
+        else:
+            p_self = _f32_dot(x, w_self)                   # [n, Gt]
+            # NOTE: gathering the raw features first and projecting after
+            # (2*n*C + 3*C*Gt MAC-passes vs 2*n*Gt) looked cheaper on paper
+            # for the low-C blocks but measured SLOWER (the 3-pass
+            # projection's hi/lo splits of the big [k*n, C] activation are
+            # VPU-bound); project-then-gather stays.
+            p_nbr = _onehot_dot(onehot, _f32_dot(x, w_nbr),
+                                passes=gather_passes)      # [k*n, Gt]
         # fold the self term in with ONE slot-broadcast add (slot-major
         # rows: leading-dim reshape is free) instead of materialising a
         # k-tiled copy of p_self and adding two operands per layer slice
@@ -174,16 +199,16 @@ def _encoder_kernel(xyz_ref, idx_ref, *refs, n: int, k: int,
         # dot is pure VPU waste — each new piece splits exactly once
         hc_hi = hc_lo = None
 
-        def hc_dot(w, mac_passes=mac_passes):
-            w_hi, w_lo = _split_hi_lo(w)
+        def hc_dot(w, mac_passes=mac_passes, out_dtype=dt):
             if mac_passes == 1:
-                return _bf16_dot(hc_hi, w_hi)
+                return _bf16_dot(hc_hi, w.astype(jnp.bfloat16), out_dtype)
+            w_hi, w_lo = _split_hi_lo(w)
             return (_bf16_dot(hc_hi, w_hi) + _bf16_dot(hc_hi, w_lo)
                     + _bf16_dot(hc_lo, w_hi))
 
         for j in range(n_layers):
             g = growths[b][j]
-            h = p[:, offset:offset + g] + take()           # bias [1, G_j]
+            h = p[:, offset:offset + g] + take().astype(dt)  # bias [1, G_j]
             if j > 0:
                 h = h + hc_dot(take())                     # [P_j, G_j]
             h = _leaky(h)
@@ -200,14 +225,21 @@ def _encoder_kernel(xyz_ref, idx_ref, *refs, n: int, k: int,
                     hc_lo = jnp.concatenate([hc_lo, h_lo], axis=1)
             offset += g
 
-        f = p[:, offset:] + take()                         # out bias
+        f = p[:, offset:] + take().astype(dt)              # out bias
         f = f + hc_dot(take())                             # conv_out h part
         # K-pool over slot-major rows
         f = jnp.max(f.reshape(k, n, odims[b]), axis=0)     # [n, odim]
 
         wm1, bm1, wm2 = take(), take(), take()
-        m = jnp.maximum(_f32_dot(f, wm1) + bm1, 0.0)
-        out_refs[b][0] = _f32_dot(m, wm2)                  # [n, cdim]
+        if fast:
+            m = jnp.maximum(
+                _bf16_dot(f, wm1.astype(jnp.bfloat16), dt)
+                + bm1.astype(dt), 0)
+            out_refs[b][0] = _bf16_dot(m, wm2.astype(jnp.bfloat16),
+                                       jnp.float32)        # [n, cdim]
+        else:
+            m = jnp.maximum(_f32_dot(f, wm1) + bm1, 0.0)
+            out_refs[b][0] = _f32_dot(m, wm2)              # [n, cdim]
 
         x = f
 
@@ -313,9 +345,22 @@ def _leaky01(x):
     return jnp.maximum(x, 0.01 * x)
 
 
-def _interp_logits_body(x, onehot, take, n: int, k: int, growths):
+def _interp_logits_body(x, onehot, take, n: int, k: int, growths,
+                        fast: bool = False):
     """Shared body: xyz + one-hot graph -> interpolation logits
-    [k*n, r_max] (slot-major rows)."""
+    [k*n, r_max] (slot-major rows).
+
+    `fast` runs the MLP/EdgeConv pipeline in single-pass bf16 with bf16
+    elementwise (the logits only feed a softmax over 8 neighbour slots;
+    golden-CD gated like the encoder's FAST_PRECISION). The raw distance
+    features stay f32."""
+    dt = jnp.bfloat16 if fast else jnp.float32
+
+    def dot(a, b, out_dtype=None):
+        if fast:
+            return _bf16_dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                             out_dtype or dt)
+        return _f32_dot(a, b)
 
     # --- distance features: [pt, nei, pt - nei, |pt - nei|] -------------
     nei = _onehot_dot(onehot, x)                           # [k*n, 3]
@@ -324,36 +369,40 @@ def _interp_logits_body(x, onehot, take, n: int, k: int, growths):
     dist = jnp.sqrt(jnp.sum(vec * vec, axis=1, keepdims=True))
     f10 = jnp.concatenate([pt, nei, vec, dist], axis=1)    # [k*n, 10]
 
-    h = _leaky01(_f32_dot(f10, take()) + take())           # de lin0+b
-    h = _leaky01(_f32_dot(h, take()) + take())             # de lin1+b
-    de_out = _f32_dot(h, take()) + take()                  # de lin2+b [.,128]
+    h = _leaky01(dot(f10, take()) + take().astype(dt))     # de lin0+b
+    h = _leaky01(dot(h, take()) + take().astype(dt))       # de lin1+b
+    de_out = dot(h, take()) + take().astype(dt)            # de lin2+b [.,128]
 
     # --- context EdgeConv (no pooling), slope 0.05 ----------------------
     w_self, w_nbr = take(), take()
-    p_self = _f32_dot(x, w_self)                           # [n, Gt]
-    p_nbr = _onehot_dot(onehot, _f32_dot(x, w_nbr))        # [k*n, Gt]
+    p_self = dot(x, w_self)                                # [n, Gt]
+    if fast:
+        p_nbr = _bf16_dot(onehot, dot(x, w_nbr, jnp.bfloat16), dt)
+    else:
+        p_nbr = _onehot_dot(onehot, _f32_dot(x, w_nbr))    # [k*n, Gt]
     gt = p_nbr.shape[1]
     p = (p_nbr.reshape(k, n, gt) + p_self[None]).reshape(k * n, gt)
     offset = 0
     h_cat = None
     for j in range(len(growths)):
         g = growths[j]
-        hh = p[:, offset:offset + g] + take()
+        hh = p[:, offset:offset + g] + take().astype(dt)
         if j > 0:
-            hh = hh + _f32_dot(h_cat, take())
+            hh = hh + dot(h_cat, take())
         hh = _leaky(hh)
         h_cat = hh if h_cat is None else jnp.concatenate([h_cat, hh],
                                                          axis=1)
         offset += g
-    feu = p[:, offset:] + take()
-    feu = feu + _f32_dot(h_cat, take())                    # [k*n, odim]
+    feu = p[:, offset:] + take().astype(dt)
+    feu = feu + dot(h_cat, take())                         # [k*n, odim]
 
     ctx = jnp.concatenate([de_out, feu], axis=1)           # [k*n, 256]
 
     # --- weight-estimation MLP, slope 0.01 ------------------------------
-    h = _leaky01(_f32_dot(ctx, take()) + take())
-    h = _leaky01(_f32_dot(h, take()) + take())
-    return _f32_dot(h, take()) + take()                    # [k*n, r_max]
+    h = _leaky01(dot(ctx, take()) + take().astype(dt))
+    h = _leaky01(dot(h, take()) + take().astype(dt))
+    return (dot(h, take(), jnp.float32)
+            + take().astype(jnp.float32))                  # [k*n, r_max]
 
 
 def _graph_and_take(xyz_ref, idx_ref, weight_refs, n, k):
@@ -372,13 +421,20 @@ def _graph_and_take(xyz_ref, idx_ref, weight_refs, n, k):
     return x, onehot, take
 
 
-def _interp_kernel(xyz_ref, idx_ref, *refs, n: int, k: int, growths):
+# Interp weight-head fast mode (single-pass bf16 MLPs + bf16 elementwise),
+# consulted at trace time by the jitted wrappers below; golden-CD gated
+# (scripts/exp_encoder_cd.py measures the full fused pipeline with it).
+INTERP_FAST = True
+
+
+def _interp_kernel(xyz_ref, idx_ref, *refs, n: int, k: int, growths,
+                   fast: bool = False):
     x, onehot, take = _graph_and_take(xyz_ref, idx_ref, refs[:-1], n, k)
-    refs[-1][0] = _interp_logits_body(x, onehot, take, n, k, growths)
+    refs[-1][0] = _interp_logits_body(x, onehot, take, n, k, growths, fast)
 
 
 def _interp_latents_kernel(xyz_ref, idx_ref, z_ref, *refs, n: int, k: int,
-                           growths, r: int):
+                           growths, r: int, fast: bool = False):
     """Logits + softmax over the k neighbour slots + latent blend, fused.
 
     Emits the interpolated latents [n, C*r] (cols c*r + j) so only they
@@ -387,7 +443,8 @@ def _interp_latents_kernel(xyz_ref, idx_ref, z_ref, *refs, n: int, k: int,
     """
     x, onehot, take = _graph_and_take(xyz_ref, idx_ref, refs[:-1], n, k)
     out_ref = refs[-1]
-    logits = _interp_logits_body(x, onehot, take, n, k, growths)[:, :r]
+    logits = _interp_logits_body(x, onehot, take, n, k, growths,
+                                 fast)[:, :r]
 
     # softmax over the k slots per point (rows s*n + p), XLA-style
     # max-subtraction; slot slices are static [n, r] views
@@ -441,9 +498,9 @@ def _feu_weights(fp):
     return out, growths, layers[-1]["w"].shape[1]
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
+@functools.partial(jax.jit, static_argnums=(3, 4))
 def interp_logits_pallas(interp_params, xyz: jax.Array, knn_idx: jax.Array,
-                         interpret: bool = False):
+                         interpret: bool = False, fast=None):
     """Fused interpolation-weight head: xyz [B, n, 3], idx [B, n, k] ->
     logits [B, n, k, R_MAX]. `interp_params` must be BN-folded."""
     B, n, _ = xyz.shape
@@ -457,7 +514,9 @@ def interp_logits_pallas(interp_params, xyz: jax.Array, knn_idx: jax.Array,
 
     idx_sm = jnp.swapaxes(knn_idx.astype(jnp.int32), 1, 2).reshape(
         B, k * n, 1)
-    kernel = functools.partial(_interp_kernel, n=n, k=k, growths=growths)
+    kernel = functools.partial(
+        _interp_kernel, n=n, k=k, growths=growths,
+        fast=INTERP_FAST if fast is None else fast)
     w_specs = [
         pl.BlockSpec(w.shape, (lambda bb, nd=w.ndim: (0,) * nd),
                      memory_space=pltpu.VMEM)
@@ -482,10 +541,10 @@ def interp_logits_pallas(interp_params, xyz: jax.Array, knn_idx: jax.Array,
     return jnp.swapaxes(out.reshape(B, k, n, r_max), 1, 2)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
 def interp_latents_pallas(interp_params, xyz: jax.Array, knn_idx: jax.Array,
                           z: jax.Array, upratio: int,
-                          interpret: bool = False):
+                          interpret: bool = False, fast=None):
     """Fully-fused latent interpolation: weight head + softmax + k-NN
     latent blend in one kernel. xyz [B, n, 3], idx [B, n, k], z [B, n, C]
     -> [B, n, C, upratio] (reference `InterpolationModule.forward`,
@@ -500,8 +559,9 @@ def interp_latents_pallas(interp_params, xyz: jax.Array, knn_idx: jax.Array,
 
     idx_sm = jnp.swapaxes(knn_idx.astype(jnp.int32), 1, 2).reshape(
         B, k * n, 1)
-    kernel = functools.partial(_interp_latents_kernel, n=n, k=k,
-                               growths=growths, r=upratio)
+    kernel = functools.partial(
+        _interp_latents_kernel, n=n, k=k, growths=growths, r=upratio,
+        fast=INTERP_FAST if fast is None else fast)
     w_specs = [
         pl.BlockSpec(w.shape, (lambda bb, nd=w.ndim: (0,) * nd),
                      memory_space=pltpu.VMEM)

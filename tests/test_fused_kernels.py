@@ -73,9 +73,14 @@ def test_interp_kernel_matches_xla(folded):
                                idx, False)
     logits_ref, _ = weight_unit_apply(ip["weight_unit"],
                                       istate["weight_unit"], ctx, False)
-    logits_k = interp_logits_pallas(ip, x, idx, True)
+    logits_k = interp_logits_pallas(ip, x, idx, True, False)
     err = np.abs(np.asarray(logits_ref) - np.asarray(logits_k)).max()
     assert err < 2e-3, err
+    # fast mode (single-pass bf16 head): coarse bound; end-to-end gated by
+    # the golden pipeline CD (scripts/exp_encoder_cd.py)
+    logits_f = interp_logits_pallas(ip, x, idx, True, True)
+    err_f = np.abs(np.asarray(logits_ref) - np.asarray(logits_f)).max()
+    assert err_f < 1.0, err_f
 
 
 def test_interp_latents_kernel_matches_xla(folded):
@@ -102,9 +107,12 @@ def test_interp_latents_kernel_matches_xla(folded):
     nei = make_neighbor_gather(idx, x.shape[1], None)(z)
     ref = jnp.einsum("bnkc,bnkr->bncr", nei.astype(jnp.float32), w)
 
-    got = interp_latents_pallas(ip, x, idx, z, r, True)
+    got = interp_latents_pallas(ip, x, idx, z, r, True, False)
     err = np.abs(np.asarray(ref) - np.asarray(got)).max()
     assert err < 5e-4, err
+    got_f = interp_latents_pallas(ip, x, idx, z, r, True, True)
+    err_f = np.abs(np.asarray(ref) - np.asarray(got_f)).max()
+    assert err_f < 0.3, err_f
 
 
 def test_dispatch_gate_boundaries(caplog):
