@@ -47,16 +47,29 @@ def _lrelu(x):
     return jnp.maximum(x, _SLOPE * x)
 
 
+# Opt-in: drop the condition-MLP matmuls to fewer bf16 passes (1 = plain
+# bf16, 2 = keep full weight mantissa, 3 = exact ~6e-6). Read at trace
+# time by _dot; the flow transforms coordinates DIRECTLY (injector scales
+# feed exp()), so any change here must re-run the golden gate
+# (scripts/check_fused_parity.py) before shipping.
+FLOW_PASSES = 3
+
+
 def _dot(a, b):
-    """f32 matmul as the exact 3-pass bf16 decomposition."""
+    """f32 matmul as an FLOW_PASSES-pass bf16 decomposition."""
     def bf16_dot(x, y):
         return jax.lax.dot_general(x, y, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32,
                                    precision=jax.lax.Precision.DEFAULT)
 
     a_hi = a.astype(jnp.bfloat16)
-    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     b_hi = b.astype(jnp.bfloat16)
+    if FLOW_PASSES == 1:
+        return bf16_dot(a_hi, b_hi)
+    if FLOW_PASSES == 2:
+        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return bf16_dot(a_hi, b_hi) + bf16_dot(a_hi, b_lo)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return (bf16_dot(a_hi, b_hi) + bf16_dot(a_hi, b_lo)
             + bf16_dot(a_lo, b_hi))

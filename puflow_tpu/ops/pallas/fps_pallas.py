@@ -70,7 +70,14 @@ def _fps_kernel(xs_ref, ys_ref, zs_ref, out_ref, mind_ref, *, n_valid: int,
         d = dx * dx + dy * dy + dz * dz
         mind = jnp.minimum(mind_ref[...], d)
         mind_ref[...] = mind
-        nxt = jnp.argmax(mind, axis=1).astype(jnp.int32)
+        # farthest = min lane index among exact-max entries. Same
+        # first-occurrence semantics as argmax (and the numpy oracle), but
+        # Mosaic lowers max + equality-select + min ~20% faster than its
+        # argmax reduction (19.2 vs 24.4 ms on the [8, 40960] -> 8216
+        # merge; scripts/exp_fps_bf16.py V6).
+        mx = jnp.max(mind, axis=1)
+        nxt = jnp.min(jnp.where(mind == mx[:, None], lane,
+                                jnp.int32(2 ** 30)), axis=1)
         out_ref[...] = jnp.where(out_lane == i, nxt[:, None], out_ref[...])
         return pick(nxt)
 
