@@ -20,9 +20,10 @@ Layout choices (all exact, no approximation):
   — run entirely on the N unique columns before their [3, N] outputs are
   tiled, cutting ~2/3 of the kernel's matmul work at r=4.
 
-f32 matmuls use the exact-to-~6e-6 3-pass bf16 decomposition (Mosaic
-lowers a DEFAULT-precision f32 dot as a single bf16 pass — see
-encoder_pallas._f32_dot for the measured quality cost).
+f32 matmuls use an FLOW_PASSES-pass bf16 decomposition (Mosaic lowers a
+DEFAULT-precision f32 dot as a single bf16 pass — see
+encoder_pallas._f32_dot); the shipped default is the 2-pass form (full
+activation mantissa against bf16-rounded weights), golden-CD gated.
 """
 
 from __future__ import annotations
@@ -47,17 +48,32 @@ def _lrelu(x):
     return jnp.maximum(x, _SLOPE * x)
 
 
-# Opt-in: drop the condition-MLP matmuls to fewer bf16 passes (1 = plain
-# bf16, 2 = keep full weight mantissa, 3 = exact ~6e-6). Read at trace
-# time by _dot; the flow transforms coordinates DIRECTLY (injector scales
-# feed exp()), so any change here must re-run the golden gate
-# (scripts/check_fused_parity.py) before shipping.
-FLOW_PASSES = 3
+# Pass count for the condition-MLP matmuls (1 = plain bf16, 2 = keep the
+# full activation mantissa against bf16 weights, 3 = exact ~6e-6). Read
+# at trace time by _dot. Default 2: measured round 3 on the real chip,
+# 3->2 passes cuts the model forward 38.6 -> 35.2 ms (the flow kernel's
+# ~12 ms is mostly these MLPs) with golden pipeline CD 4.82e-4 — inside
+# the exact path's own 4.55-4.95e-4 run-to-run band; 1-pass saves
+# nothing further (35.1 ms) and moves CD to 6.7e-4. The flow transforms
+# coordinates DIRECTLY (injector scales feed exp()), so any change here
+# must re-run the golden gate (scripts/check_fused_parity.py).
+# Exactness-sensitive unit tests pin 3.
+FLOW_PASSES = 2
 
 
-def _dot(a, b):
+def _dot(a, b, interp: bool = False):
     """f32 matmul as an FLOW_PASSES-pass bf16 decomposition."""
     def bf16_dot(x, y):
+        if interp:
+            # interpret mode runs on XLA:CPU, whose thunk runtime can't
+            # execute a standalone bf16 x bf16 -> f32 dot (it only works
+            # when fused); computing on f32 upcasts of the bf16-quantised
+            # inputs is bit-identical (bf16 products are exact in f32,
+            # accumulation is f32 either way)
+            return jax.lax.dot_general(
+                x.astype(jnp.float32), y.astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST)
         return jax.lax.dot_general(x, y, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32,
                                    precision=jax.lax.Precision.DEFAULT)
@@ -75,9 +91,12 @@ def _dot(a, b):
             + bf16_dot(a_lo, b_hi))
 
 
-def _flow_g_kernel(z_ref, *refs, num_blocks: int, splits, r: int):
+def _flow_g_kernel(z_ref, *refs, num_blocks: int, splits, r: int,
+                   interp: bool = False):
     """refs: un-repeated cs inputs (num_blocks, channel-major [cdim, n]),
-    weight refs, out ref. State z is slot-major [3, m], m = n * r."""
+    weight refs, out ref. State z is slot-major [3, m], m = n * r.
+    `interp` routes the bf16 dots through an XLA:CPU-executable form."""
+    _dot = functools.partial(globals()["_dot"], interp=interp)
     cs_refs = refs[:num_blocks]
     weight_refs = refs[num_blocks:-1]
     out_ref = refs[-1]
@@ -204,7 +223,7 @@ def flow_g_pallas(flow_blocks, fz: jax.Array, cs,
     cs_in = [jnp.swapaxes(c, 1, 2) for c in reversed(cs)]  # [B, cdim, n]
 
     kernel = functools.partial(_flow_g_kernel, num_blocks=num_blocks,
-                               splits=splits, r=r)
+                               splits=splits, r=r, interp=interpret)
     cs_specs = [
         pl.BlockSpec((1, c.shape[1], n), lambda bb: (bb, 0, 0),
                      memory_space=pltpu.VMEM)

@@ -171,6 +171,7 @@ def test_flow_g_above_gate_falls_back_identically(folded):
 
 def test_flow_g_kernel_matches_xla(folded):
     from puflow_tpu.models import discrete
+    from puflow_tpu.ops.pallas import flow_pallas
     from puflow_tpu.ops.pallas.flow_pallas import flow_g_pallas
 
     params, _ = folded
@@ -179,6 +180,24 @@ def test_flow_g_kernel_matches_xla(folded):
     cs = [jax.random.normal(jax.random.PRNGKey(10 + i), (B, n, c)) * 0.5
           for i, c in enumerate([32, 64, 128, 128, 128, 128])]
     x_ref = discrete.g_transform(params, z, cs, r, fast=False)
-    x_k = flow_g_pallas(params["flow_blocks"], z, cs, True)
-    np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_ref),
-                               atol=1e-5)
+    # FLOW_PASSES is read at trace time, so clear the jit cache around
+    # each setting (same-signature calls would otherwise reuse the first
+    # trace)
+    old = flow_pallas.FLOW_PASSES
+    try:
+        # exact 3-pass decomposition: tight bound
+        flow_pallas.FLOW_PASSES = 3
+        flow_g_pallas.clear_cache()
+        x_k = flow_g_pallas(params["flow_blocks"], z, cs, True)
+        np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_ref),
+                                   atol=1e-5)
+        # shipped 2-pass default: coarse bound here; end-to-end golden-CD
+        # gated on the real chip (scripts/check_fused_parity.py, 4.82e-4)
+        flow_pallas.FLOW_PASSES = 2
+        flow_g_pallas.clear_cache()
+        x_f = flow_g_pallas(params["flow_blocks"], z, cs, True)
+        np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_ref),
+                                   atol=5e-3)
+    finally:
+        flow_pallas.FLOW_PASSES = old
+        flow_g_pallas.clear_cache()
