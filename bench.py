@@ -60,7 +60,9 @@ def bench_cnf():
     run = jax.jit(lambda p, s, x: continuous.sample(p, s, x, R))
     for _ in range(2):
         np.asarray(run(params, state, pts))
-    iters = 5
+    # each iteration is only ~4-5 ms; a large window keeps the remote
+    # tunnel's ~31 ms sync RTT out of the per-iteration figure
+    iters = 50
     dt = float("inf")
     for _ in range(3):
         t0 = time.time()
