@@ -43,12 +43,16 @@ def normalize_cloud(pc: jax.Array):
     return pc / furthest, centroid, furthest
 
 
-def extract_patches(pc: jax.Array, n_patch: int, patch_size: int):
+def extract_patches(pc: jax.Array, n_patch: int, patch_size: int,
+                    return_idx: bool = False):
     """FPS seeds + k-NN membership -> [B, n_patch, patch_size, 3].
 
     The patch-point gather goes through the one-hot MXU path
     (`make_neighbor_gather`): the [B, n_patch, k, 3] gather HLO alone cost
     ~46ms of the 2048->8192 pipeline on TPU.
+
+    With ``return_idx`` also returns the membership indices
+    ``[B, n_patch, k]`` (which cloud points each patch contains).
     """
     from puflow_tpu.ops.knn import make_neighbor_gather
 
@@ -56,7 +60,8 @@ def extract_patches(pc: jax.Array, n_patch: int, patch_size: int):
     seeds = gather_points(pc, seed_idx)                    # [B, n_patch, 3]
     idx = knn_indices(seeds, pc, patch_size)               # [B, n_patch, k]
     gather = make_neighbor_gather(idx, pc.shape[1])
-    return gather(pc).astype(pc.dtype)                     # [B, n_patch, k, 3]
+    patches = gather(pc).astype(pc.dtype)                  # [B, n_patch, k, 3]
+    return (patches, idx) if return_idx else patches
 
 
 def merge_patches(points: jax.Array, npoint: int) -> jax.Array:
@@ -161,14 +166,32 @@ def upsample_cloud_impl(model_params, pc: jax.Array, sample_fn, npoint: int,
     if jitter_key is not None:
         pc_n = jitter_cloud(jitter_key, pc_n)
 
-    patches = extract_patches(pc_n, n_patch, patch_size)   # [B, P, k, 3]
+    patches, idx = extract_patches(pc_n, n_patch, patch_size,
+                                   return_idx=True)        # [B, P, k, 3]
     flat = patches.reshape(B * n_patch, patch_size, C)
 
     flat_n, centroids, furthest = normalize_cloud(flat)
     pred = sample_fn(model_params, flat_n, upratio)        # [B*P, k*r, 3]
-    pred = jnp.concatenate([pred, flat_n], axis=1)         # append inputs
     pred = pred * furthest + centroids
-    pred = pred.reshape(B, -1, C)                          # [B, P*k*(r+1), 3]
+    pred = pred.reshape(B, -1, C)                          # [B, P*k*r, 3]
+
+    # Merge union: predicted points + each patch-covered ORIGINAL exactly
+    # once. The reference unions the per-patch input copies instead
+    # (`patch.py:142-159`): every covered point appears once per covering
+    # patch (~expand_ratio times), each copy a per-patch-frame roundtrip
+    # of the same coordinate (equal to ~1 ulp). FPS selects purely by
+    # coordinates, so collapsing each duplicate cluster to the single
+    # original leaves the selected point SET unchanged — once any copy is
+    # taken the rest sit at min-distance ~0 and are never taken again.
+    # Uncovered originals (present in no patch, hence not in the
+    # reference's union either) are replaced by a copy of an existing
+    # candidate, which FPS can never select while distinct candidates
+    # remain. Union 5x -> ~4.25x the input size, cutting the merge-FPS
+    # sweep cost (the dominant non-model stage) proportionally.
+    cov = jnp.zeros((B, N), bool).at[
+        jnp.arange(B)[:, None, None], idx].set(True)       # [B, N]
+    originals = jnp.where(cov[..., None], pc_n, pred[:, :1, :])
+    pred = jnp.concatenate([pred, originals], axis=1)      # [B, P*k*r+N, 3]
 
     if merge_candidates:
         # Voxel pre-reduction (CD-gated). Round-3 measurements on the real
