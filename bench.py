@@ -135,9 +135,10 @@ def main():
     # ~31ms/transfer RTT over the window instead of paying it per
     # iteration, and matches how a deployment actually feeds the chip.
     # Best-of-3 windows guards against one-off tunnel/host hiccups.
-    iters = 5
+    iters = 15  # wide windows: the end-of-window sync RTT (~30ms) must be
+    # small against iters * ~170ms of queued device work
     dt = float("inf")
-    for _ in range(5):  # best-of-5 windows: tunnel hiccups cost ~10% per run
+    for _ in range(4):  # best-of-N windows: tunnel hiccups cost ~10% per run
         t0 = time.time()
         outs = [run(pts) for _ in range(iters)]
         np.asarray(outs[-1])

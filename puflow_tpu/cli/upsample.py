@@ -89,10 +89,11 @@ def main(argv=None):
 
     for n, items in sorted(by_n.items()):
         npoint = (args.num_out or n * args.up_ratio) + args.num_outlier
-        # both paths keep the exact merge: voxel pre-reduction measured
-        # cost-neutral and strided thinning failed the golden CD gate
-        # (see inference/patch.py)
+        # default path: seeded merge (originals emitted + seeded FPS over
+        # predictions, CD-gated); --exact keeps the reference-identical
+        # union merge (see inference/patch.py)
         merge_cand = None
+        seeded = not args.exact and npoint > n
         # batch same-size clouds through one jit call (pad the tail batch
         # so every batch reuses the same compilation)
         bsz = max(1, args.batch)
@@ -107,7 +108,7 @@ def main(argv=None):
             clouds = jnp.asarray(clouds)
             pred = upsample_cloud(
                 model_params, clouds, sample_fn, npoint, args.up_ratio,
-                args.num_patch, 4.0, merge_cand)
+                args.num_patch, 4.0, merge_cand, seeded)
             if args.num_outlier > 0:
                 pred = remove_outliers(pred, clouds, args.num_outlier)
             prev, pending = pending, (chunk, pred)

@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from puflow_tpu.ops.chamfer import chamfer_parts
-from puflow_tpu.ops.fps import farthest_point_sample
+from puflow_tpu.ops.fps import (farthest_point_sample,
+                                farthest_point_sample_seeded)
 from puflow_tpu.ops.knn import gather_points, knn_indices
 
 
@@ -145,6 +146,7 @@ def jitter_cloud(key, pc: jax.Array, sigma: float = 0.010,
 def upsample_cloud_impl(model_params, pc: jax.Array, sample_fn, npoint: int,
                         upratio: int = 4, patch_size: int = 256,
                         expand_ratio: float = 4.0, merge_candidates=None,
+                        seeded_merge: bool = True,
                         jitter_key=None) -> jax.Array:
     """Upsample whole clouds patch-wise.
 
@@ -175,40 +177,47 @@ def upsample_cloud_impl(model_params, pc: jax.Array, sample_fn, npoint: int,
     pred = pred * furthest + centroids
     pred = pred.reshape(B, -1, C)                          # [B, P*k*r, 3]
 
-    # Merge union: predicted points + each patch-covered ORIGINAL exactly
-    # once. The reference unions the per-patch input copies instead
-    # (`patch.py:142-159`): every covered point appears once per covering
-    # patch (~expand_ratio times), each copy a per-patch-frame roundtrip
-    # of the same coordinate (equal to ~1 ulp). FPS selects purely by
-    # coordinates, so collapsing each duplicate cluster to the single
-    # original leaves the selected point SET unchanged — once any copy is
-    # taken the rest sit at min-distance ~0 and are never taken again.
-    # Uncovered originals (present in no patch, hence not in the
-    # reference's union either) are replaced by a copy of an existing
-    # candidate, which FPS can never select while distinct candidates
-    # remain. Union 5x -> ~4.25x the input size, cutting the merge-FPS
-    # sweep cost (the dominant non-model stage) proportionally.
-    cov = jnp.zeros((B, N), bool).at[
-        jnp.arange(B)[:, None, None], idx].set(True)       # [B, N]
-    originals = jnp.where(cov[..., None], pc_n, pred[:, :1, :])
-    pred = jnp.concatenate([pred, originals], axis=1)      # [B, P*k*r+N, 3]
-
-    if merge_candidates:
-        # Voxel pre-reduction (CD-gated). Round-3 measurements on the real
-        # chip: the scatter/gather dedup cost roughly cancels the
-        # merge-FPS saving (headline unchanged within noise), and the
-        # cheaper strided-thinning alternative FAILED the golden gate
-        # (CD 1.6e-3 vs voxel's 6.7e-4 — FPS from a thinned pool loses
-        # uniformity that voxel dedup preserves). Default pipelines
-        # therefore keep the exact merge; this stays for callers with
-        # larger unions where the trade flips.
-        merged = merge_patches_approx(pred, npoint, merge_candidates)
+    # The reference merge (`patch.py:142-159`) FPS-selects npoint from the
+    # union of predicted points and every patch's input copy — each covered
+    # original appears once per covering patch (~expand_ratio times), each
+    # copy a per-patch-frame roundtrip of the same coordinate (~1 ulp
+    # apart). Two CD-gated restructurings of that union, fastest first:
+    if seeded_merge and npoint <= N:   # degenerate: fewer outputs than inputs
+        seeded_merge = False
+    if seeded_merge:
+        # Seeded merge: the originals are exact surface samples that the
+        # reference union always contains, so emit ALL of them directly
+        # and greedily select only the remaining npoint - N points from
+        # the predictions, with the FPS min-distance cache SEEDED by the
+        # originals (one reduction-free sweep, ~40% of a selection step's
+        # cost). Cuts selection steps ~25% and candidates ~18% at the x4
+        # defaults. Not index-identical to the reference's FPS — gated by
+        # the golden pipeline-CD tests like every fast path.
+        sel = farthest_point_sample_seeded(pred, pc_n, npoint - N)
+        merged = jnp.concatenate(
+            [pc_n, gather_points(pred, sel)], axis=1)      # [B, npoint, 3]
     else:
-        merged = merge_patches(pred, npoint)               # [B, npoint, 3]
+        # Exact-union merge: collapse each duplicate cluster to the single
+        # original — FPS selects purely by coordinates, so once any copy
+        # is taken the rest sit at min-distance ~0 and are never taken
+        # again; the selected SET is unchanged vs the reference union.
+        # Uncovered originals (in no patch, hence not in the reference's
+        # union either) are replaced by a copy of an existing candidate,
+        # which FPS can never re-select.
+        cov = jnp.zeros((B, N), bool).at[
+            jnp.arange(B)[:, None, None], idx].set(True)   # [B, N]
+        originals = jnp.where(cov[..., None], pc_n, pred[:, :1, :])
+        union = jnp.concatenate([pred, originals], axis=1)  # [B, P*k*r+N, 3]
+        if merge_candidates:
+            # Voxel pre-reduction (CD-gated; measured cost-neutral at the
+            # x4 defaults — kept for callers with larger unions).
+            merged = merge_patches_approx(union, npoint, merge_candidates)
+        else:
+            merged = merge_patches(union, npoint)          # [B, npoint, 3]
     return merged * g_furthest + g_centroid
 
 
-upsample_cloud = partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))(
+upsample_cloud = partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))(
     upsample_cloud_impl)
 
 
@@ -226,7 +235,7 @@ def upsample_cloud_sharded(mesh, model_params, pc, sample_fn, npoint: int,
 
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
-    fn = jax.jit(upsample_cloud_impl, static_argnums=(2, 3, 4, 5, 6, 7),
+    fn = jax.jit(upsample_cloud_impl, static_argnums=(2, 3, 4, 5, 6, 7, 8),
                  in_shardings=(rep, bsh), out_shardings=bsh)
     return fn(jax.device_put(model_params, rep), jax.device_put(pc, bsh),
               sample_fn, npoint, upratio, patch_size, expand_ratio)

@@ -40,21 +40,25 @@ _SLOPE = 0.05  # FeatureExtractUnit LeakyReLU
 # (gather_passes, mac_passes).
 #
 # EXACT_PRECISION keeps every in-kernel matmul at the exact multi-pass bf16
-# decomposition. FAST_PRECISION drops block 1+ to single-pass bf16 — 38%
-# faster (46.3 -> 28.8 ms at 256 patches, round-3 sweep) — and is the
-# fused-path default because the end-to-end golden gate showed the
-# pipeline CD vs the executed torch reference is INSENSITIVE to it
-# (exact 4.75e-4, fast 4.55e-4 on the 512-pt cloud; the residual is
-# cross-framework fp chaos, not kernel precision — scripts/
-# exp_encoder_cd.py). Block 0 stays exact: its output feeds every later
-# block's input recursion. Bit-parity needs (`--exact` CLI path, golden
-# unit tests) bypass the fused kernel entirely or pin EXACT_PRECISION.
+# decomposition. FAST_PRECISION drops EVERY block to single-pass bf16 —
+# and is the fused-path default because the end-to-end golden gate showed
+# the pipeline CD vs the executed torch reference is INSENSITIVE to it
+# (round-3 sweeps, scripts/exp_encoder_cd.py: exact 4.75e-4 and
+# blocks-1-5-fast 4.55e-4 on the 512-pt cloud; with block 0 fast too and
+# the seeded merge, 9.0e-4 fast vs 8.8e-4 with block 0 exact — the
+# residual is cross-framework fp chaos + merge selection, not kernel
+# precision, and the TRUE-surface accuracy on the sphere fixture is 19%
+# BETTER than the reference output either way). Block 0's exact passes
+# alone cost 22% of the kernel (67.2 -> 52.7 ms at 1024 patches,
+# scripts/exp_encoder_split.py). Bit-parity needs (`--exact` CLI path,
+# golden unit tests) bypass the fused kernel entirely or pin
+# EXACT_PRECISION.
 #
 # `feat_extract` consults ENCODER_PRECISION when calling with
 # precision=None; changing it after a jitted caller has traced requires
 # jax.clear_caches().
 EXACT_PRECISION = ((2, 3),) * 6
-FAST_PRECISION = ((2, 3),) + ((1, 1),) * 5
+FAST_PRECISION = ((1, 1),) * 6
 ENCODER_PRECISION = FAST_PRECISION
 
 

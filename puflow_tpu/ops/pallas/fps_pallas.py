@@ -85,6 +85,149 @@ def _fps_kernel(xs_ref, ys_ref, zs_ref, out_ref, mind_ref, *, n_valid: int,
     jax.lax.fori_loop(1, m, body, pick(zero))
 
 
+def _split_hi_lo(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _seed_mind_kernel(p_ref, st_ref, s2_ref, out_ref):
+    """min-over-seeds squared distance for one candidate chunk.
+
+    d[i, j] = |p_i|^2 - 2 p_i . s_j + |s_j|^2; |p_i|^2 is constant per
+    row, so it is added AFTER the lane min. The cross term rides the MXU
+    as a 3-pass bf16 decomposition (~2^-22 — the -2 factor is folded into
+    st by the wrapper); assembling d is then 1 broadcast-add + the min
+    reduction, so the whole seeding is MXU + 2 VPU passes instead of the
+    S-step sequential loop a first cut used (which was LOSING ~8 ms to
+    reduce latencies at S=2048)."""
+    p = p_ref[0]                                           # [Mc, 3]
+    st = st_ref[0]                                         # [3, S]
+    s2 = s2_ref[0]                                         # [1, S]
+
+    # hi/lo parts stacked on the contraction axis: ONE bf16 pass computes
+    # hi.hi + hi.lo + lo.hi + lo.lo (the extra lo.lo term is ~2^-32 — even
+    # closer to exact than the 3-term form). Contraction is 3 either way
+    # after sublane padding, and one pass avoids paying the MXU pipeline
+    # fill three times (measured 9.5 -> ~3 ms on the merge seeding).
+    p_hi, p_lo = _split_hi_lo(p)
+    st_hi, st_lo = _split_hi_lo(st)
+    cross = jax.lax.dot_general(
+        jnp.concatenate([p_hi, p_lo], axis=1),
+        jnp.concatenate([st_hi, st_lo], axis=0),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+    p2 = jnp.sum(p * p, axis=1, keepdims=True)             # [Mc, 1]
+    out_ref[0] = jnp.min(cross + s2, axis=1, keepdims=True) + p2
+
+
+def _fps_seeded_kernel(xs_ref, ys_ref, zs_ref, m0_ref, out_ref, mind_ref, *,
+                       n_valid: int, m: int):
+    """Seeded selection: the min-distance cache arrives precomputed
+    (distance to the nearest seed, `_seed_mind_kernel`); each of the m
+    steps selects the argmax FIRST and applies its distance update
+    after."""
+    B, np_ = xs_ref.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, np_), 1)
+    valid = lane < n_valid
+    mind_ref[...] = jnp.where(valid, m0_ref[...], -jnp.float32(jnp.inf))
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, (B, out_ref.shape[-1]), 1)
+    out_ref[...] = jnp.zeros_like(out_lane)
+
+    xs = xs_ref[...]
+    ys = ys_ref[...]
+    zs = zs_ref[...]
+
+    def body(i, _):
+        mind = mind_ref[...]
+        mx = jnp.max(mind, axis=1)
+        nxt = jnp.min(jnp.where(mind == mx[:, None], lane,
+                                jnp.int32(2 ** 30)), axis=1)
+        out_ref[...] = jnp.where(out_lane == i, nxt[:, None], out_ref[...])
+        sel = lane == nxt[:, None]
+        x = jnp.sum(jnp.where(sel, xs, 0.0), axis=1)
+        y = jnp.sum(jnp.where(sel, ys, 0.0), axis=1)
+        z = jnp.sum(jnp.where(sel, zs, 0.0), axis=1)
+        dx = xs - x[:, None]
+        dy = ys - y[:, None]
+        dz = zs - z[:, None]
+        d = dx * dx + dy * dy + dz * dz
+        mind_ref[...] = jnp.minimum(mind, d)
+        return 0
+
+    jax.lax.fori_loop(0, m, body, 0)
+
+
+_SEED_CHUNK = 1024
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def farthest_point_sample_seeded_pallas(xyz: jax.Array, seeds: jax.Array,
+                                        n_samples: int,
+                                        interpret: bool = False) -> jax.Array:
+    """Seeded Pallas FPS: candidates [B, N, 3] + seeds [B, S, 3] ->
+    [B, n_samples] int32 candidate indices (see ops/fps.py docstring).
+
+    Two kernels: an MXU seeding pass produces the nearest-seed distance
+    cache, then the selection kernel runs the sequential argmax loop."""
+    B, N, _ = xyz.shape
+    S = seeds.shape[1]
+    np_ = _round_up(N, 128)
+    sp_ = _round_up(S, 128)
+    mp_ = _round_up(n_samples, 128)
+
+    xyz = xyz.astype(jnp.float32)
+    seeds = seeds.astype(jnp.float32)
+    # pad seed slots with copies of seed 0 (min-idempotent)
+    if sp_ != S:
+        seeds = jnp.concatenate(
+            [seeds, jnp.broadcast_to(seeds[:, :1], (B, sp_ - S, 3))], axis=1)
+    # pad candidates with copies of candidate 0 (masked out by n_valid in
+    # the selection kernel; keeps the seeding math finite)
+    xyz_p = xyz if np_ == N else jnp.concatenate(
+        [xyz, jnp.broadcast_to(xyz[:, :1], (B, np_ - N, 3))], axis=1)
+
+    st = -2.0 * jnp.swapaxes(seeds, 1, 2)                  # [B, 3, S]
+    s2 = jnp.sum(seeds * seeds, axis=-1)[:, None, :]       # [B, 1, S]
+
+    mc = min(_SEED_CHUNK, np_)
+    np_seed = _round_up(np_, mc)
+    xyz_seed = xyz_p if np_seed == np_ else jnp.concatenate(
+        [xyz_p, jnp.broadcast_to(xyz_p[:, :1], (B, np_seed - np_, 3))],
+        axis=1)
+    mind0 = pl.pallas_call(
+        _seed_mind_kernel,
+        grid=(B, np_seed // mc),
+        in_specs=[
+            pl.BlockSpec((1, mc, 3), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, sp_), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sp_), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, mc, 1), lambda b, c: (b, c, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, np_seed, 1), jnp.float32),
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(xyz_seed, st, s2)
+    mind0 = mind0[:, :np_, 0]                              # [B, np_]
+
+    planes = jnp.transpose(xyz_p, (2, 0, 1))               # [3, B, np_]
+    kernel = functools.partial(_fps_seeded_kernel, n_valid=N, m=n_samples)
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, mp_), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((B, np_), jnp.float32)],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(planes[0], planes[1], planes[2], mind0)
+    return out[:, :n_samples]
+
+
 # Mosaic's scoped-VMEM stack holds the 3 coordinate planes, the min-dist
 # scratch, the lane iota and ~5 loop temporaries (dx/dy/dz/d/mind) — about
 # 10 [B, N] f32 planes total. The kernel declares a 56 MB VMEM limit

@@ -44,12 +44,18 @@ def main():
 
     model = jax.jit(lambda mp, f: sample_fn(mp, f, R), static_argnums=())
     pred = model(model_params, flat_n)
-    pred_full = jnp.concatenate([pred, flat_n], axis=1) * furth + cent
-    union = pred_full.reshape(B, -1, 3)
-    print("union shape:", union.shape)
+    pred_full = (pred * furth + cent).reshape(B, -1, 3)
+    print("candidates shape:", pred_full.shape)
 
-    merge = jax.jit(lambda u: merge_patches(u, npoint))
-    merge(union)
+    from puflow_tpu.ops.fps import farthest_point_sample_seeded
+    from puflow_tpu.ops.knn import gather_points
+
+    @jax.jit
+    def merge(cand, orig):
+        sel = farthest_point_sample_seeded(cand, orig, npoint - N)
+        return jnp.concatenate([orig, gather_points(cand, sel)], axis=1)
+
+    merge(pred_full, pc_n)
 
     full = lambda p: upsample_cloud(model_params, p, sample_fn, npoint, R,
                                     k, 4.0)
@@ -57,7 +63,7 @@ def main():
 
     t_ex = time_fn(extract, pc_n, iters=20)
     t_mo = time_fn(model, model_params, flat_n, iters=20)
-    t_me = time_fn(merge, union, iters=20)
+    t_me = time_fn(merge, pred_full, pc_n, iters=20)
     t_fu = time_fn(full, pts, iters=20)
     tot_patches = B * n_patch
     print(f"B={B}  patches/iter={tot_patches}")

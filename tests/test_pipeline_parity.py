@@ -153,12 +153,35 @@ def test_full_pipeline_matches_reference():
     params, state, sample_fn = load_checkpoint(CKPT, "discrete")
     mp = (jax.tree.map(jnp.asarray, params), jax.tree.map(jnp.asarray, state))
     cloud = jnp.asarray(pts)[None]
-    ours = upsample_cloud(mp, cloud, sample_fn, 512 * 4 + 24, 4, 256, 4.0)
-    ours = np.asarray(remove_outliers(ours, cloud, 24))[0]
 
-    assert ours.shape == ref_out.shape == (2048, 3)
-    # chamfer between the two outputs should be tiny relative to the
-    # cloud scale (~unit sphere)
-    d = ((ours[:, None, :] - ref_out[None, :, :]) ** 2).sum(-1)
-    cd = d.min(1).mean() + d.min(0).mean()
-    assert cd < 5e-4, f"pipeline outputs diverge: CD={cd}"
+    def run(seeded):
+        out = upsample_cloud(mp, cloud, sample_fn, 512 * 4 + 24, 4, 256,
+                             4.0, None, seeded)
+        return np.asarray(remove_outliers(out, cloud, 24))[0]
+
+    def cd_vs_ref(ours):
+        d = ((ours[:, None, :] - ref_out[None, :, :]) ** 2).sum(-1)
+        return d.min(1).mean() + d.min(0).mean()
+
+    def sphere_err(out):
+        # the fixture is sampled on the unit sphere, so |1 - |x|| is each
+        # point's exact distance to the true surface
+        return np.abs(1.0 - np.linalg.norm(out, axis=1)).mean()
+
+    # exact-union path: FPS-set-identical to the reference merge; the CD
+    # floor is cross-framework model fp divergence only
+    exact = run(False)
+    assert exact.shape == ref_out.shape == (2048, 3)
+    cd = cd_vs_ref(exact)
+    assert cd < 5e-4, f"exact pipeline diverges: CD={cd}"
+
+    # seeded merge (default fast path): emits the originals + seeded-FPS
+    # predictions; different selection pattern, same 1e-3 gate as the
+    # other golden-CD-gated fast paths — and it must not be farther from
+    # the TRUE surface than the reference output is
+    seeded = run(True)
+    cd_s = cd_vs_ref(seeded)
+    assert cd_s < 1e-3, f"seeded merge diverges: CD={cd_s}"
+    assert sphere_err(seeded) <= sphere_err(ref_out) * 1.05, (
+        f"seeded merge lost surface accuracy: "
+        f"{sphere_err(seeded):.2e} vs reference {sphere_err(ref_out):.2e}")
