@@ -77,6 +77,7 @@ _REVERSE3 = (2, 1, 0)  # reverse permutation of 3 channels; self-inverse
 # ---------------------------------------------------------------------------
 ENCODER_FUSED_MAX_NK = 8192   # N * K VMEM budget of encoder_conditions_pallas
 FLOW_G_FUSED_MAX_NR = 4096    # N * r VMEM budget of flow_g_pallas
+FLOW_F_FUSED_MAX_N = 2048     # per-patch VMEM budget of flow_f_pallas
 
 _logger = __import__("logging").getLogger("puflow_tpu.dispatch")
 _warned_shapes: set = set()
@@ -99,6 +100,18 @@ def use_fused_encoder(n: int, k: int, backend: str | None = None) -> bool:
         return False
     if n * k > ENCODER_FUSED_MAX_NK:
         _log_fallback("encoder", f"N*K = {n}*{k} > {ENCODER_FUSED_MAX_NK}")
+        return False
+    return True
+
+
+def use_fused_flow_f(n: int, backend: str | None = None) -> bool:
+    """True when the fused forward-flow kernel dispatches for n-point
+    patches (inference only — the kernel skips the log-density)."""
+    backend = backend or jax.default_backend()
+    if backend == "cpu":
+        return False
+    if n > FLOW_F_FUSED_MAX_N:
+        _log_fallback("forward-flow", f"N = {n} > {FLOW_F_FUSED_MAX_N}")
         return False
     return True
 
@@ -271,8 +284,12 @@ def log_prob(params, x, cs):
 
 
 def forward(params, state, xyz, upratio: int, train: bool = False,
-            spec: ModelSpec = ModelSpec(), dtype=None, interp_dtype="same"):
+            spec: ModelSpec = ModelSpec(), dtype=None, interp_dtype="same",
+            fast_f: bool = False):
     """Full upsampling pass: ``[B, N, 3] -> ([B, N*r, 3], scalar NLL, state')``.
+
+    ``fast_f=True`` (inference only) runs the forward flow as one fused
+    Pallas kernel and returns NaN for the NLL (it is not computed).
 
     Reference `PointInterpFlow.forward` (`:327-337`). `dtype=jnp.bfloat16`
     selects the fast inference path: encoder/coupling nets on the MXU in
@@ -283,7 +300,16 @@ def forward(params, state, xyz, upratio: int, train: bool = False,
     """
     knn_idx = knn_indices(xyz, xyz, spec.num_neighbors)
     cs, feat_s = feat_extract(params, state, xyz, knn_idx, train, dtype=dtype)
-    z, logp_x = log_prob(params, xyz, cs)
+    if fast_f and not train and use_fused_flow_f(xyz.shape[1]):
+        # fused forward flow (inference): z only — the log-density is NOT
+        # computed (sample() discards it). Callers needing the NLL
+        # (trainer validation) keep fast_f=False.
+        from puflow_tpu.ops.pallas.flow_pallas import flow_f_pallas
+
+        z = flow_f_pallas(params["flow_blocks"], xyz, cs)
+        logp_x = jnp.float32(jnp.nan)
+    else:
+        z, logp_x = log_prob(params, xyz, cs)
     fz, interp_s = interpolation_apply(
         params["interp"], state["interp"], z, xyz, upratio, train,
         dtype=dtype if interp_dtype == "same" else interp_dtype,
@@ -297,7 +323,8 @@ def sample(params, state, sparse, upratio: int = 4,
            spec: ModelSpec = ModelSpec(), dtype=None, interp_dtype="same"):
     """Inference entry: dense cloud only (reference `sample`, `:347-350`)."""
     dense, _, _ = forward(params, state, sparse, upratio, train=False,
-                          spec=spec, dtype=dtype, interp_dtype=interp_dtype)
+                          spec=spec, dtype=dtype, interp_dtype=interp_dtype,
+                          fast_f=True)
     return dense
 
 

@@ -61,8 +61,9 @@ def _lrelu(x):
 FLOW_PASSES = 2
 
 
-def _dot(a, b, interp: bool = False):
-    """f32 matmul as an FLOW_PASSES-pass bf16 decomposition."""
+def _dot(a, b, interp: bool = False, passes: int | None = None):
+    """f32 matmul as a multi-pass bf16 decomposition (default
+    FLOW_PASSES)."""
     def bf16_dot(x, y):
         if interp:
             # interpret mode runs on XLA:CPU, whose thunk runtime can't
@@ -78,11 +79,13 @@ def _dot(a, b, interp: bool = False):
                                    preferred_element_type=jnp.float32,
                                    precision=jax.lax.Precision.DEFAULT)
 
+    if passes is None:
+        passes = FLOW_PASSES
     a_hi = a.astype(jnp.bfloat16)
     b_hi = b.astype(jnp.bfloat16)
-    if FLOW_PASSES == 1:
+    if passes == 1:
         return bf16_dot(a_hi, b_hi)
-    if FLOW_PASSES == 2:
+    if passes == 2:
         b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         return bf16_dot(a_hi, b_hi) + bf16_dot(a_hi, b_lo)
     a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -189,6 +192,154 @@ def _g_weights(flow_blocks):
         out.append(jnp.exp(-bp["actnorm"]["logs"]).reshape(-1, 1))
         splits.append(split)
     return out, tuple(splits)
+
+
+def _flow_f_kernel(x_ref, *refs, num_blocks: int, splits,
+                   interp: bool = False):
+    """Forward flow f (points -> latents), channel-major [3, m]. The
+    inference path discards the log-density, so no logdet terms are
+    computed (reference `f`, `modules/discrete/interpflow.py:302-313` —
+    the z output only). Block order is FORWARD: ActNorm -> inv1x1 ->
+    additive coupling -> reverse permute -> affine injector forward
+    ((x - bias) * exp(-scale)).
+
+    Always 3-pass (exact) matmuls: unlike g (unit-scale latents), the
+    forward intermediates reach +-130 through the injector exp() stages,
+    and the 2-pass form measured 7% error on z (vs 3e-4 abs at 3-pass)."""
+    _dot = functools.partial(globals()["_dot"], interp=interp, passes=3)
+    cs_refs = refs[:num_blocks]
+    weight_refs = refs[num_blocks:-1]
+    out_ref = refs[-1]
+    wi = 0
+
+    def take():
+        nonlocal wi
+        w = weight_refs[wi][...]
+        wi += 1
+        return w
+
+    def mlp_cond(c, w0, w1, b1, w2, b2):
+        h = _lrelu(_dot(w0, c))
+        h = _lrelu(_dot(w1, h) + b1)
+        return _dot(w2, h) + b2
+
+    x = x_ref[0]                                           # [3, m]
+    for b in range(num_blocks):
+        c = cs_refs[b][0]                                  # [cdim, m]
+        split = splits[b]
+
+        # ActNorm forward: x * exp(logs) + bias
+        an_exp, an_bias = take(), take()                   # [3, 1] each
+        x = x * an_exp + an_bias
+
+        # inv1x1 forward: x' = W @ x as 9 broadcast MACs
+        w = take()                                         # [3, 3]
+        rows = []
+        for i in range(3):
+            acc = w[i:i + 1, 0:1] * x[0:1, :]
+            for j in range(1, 3):
+                acc = acc + w[i:i + 1, j:j + 1] * x[j:j + 1, :]
+            rows.append(acc)
+        x = jnp.concatenate(rows, axis=0)
+
+        # additive coupling forward: h2 = h2 - bias_net(h1, c)
+        c_w0c, c_w0h, c_w1, c_b1, c_w2, c_b2 = (take() for _ in range(6))
+        h1 = x[:split, :]
+        h = _dot(c_w0c, c)                                 # [64, m]
+        for j in range(split):
+            h = h + c_w0h[:, j:j + 1] * h1[j:j + 1, :]
+        h = _lrelu(h)
+        h = _lrelu(_dot(c_w1, h) + c_b1)
+        sub = _dot(c_w2, h) + c_b2                         # [3-split, m]
+        x = jnp.concatenate([h1, x[split:, :] - sub], axis=0)
+
+        # reverse channel permute [2, 1, 0]
+        x = jnp.concatenate([x[2:3, :], x[1:2, :], x[0:1, :]], axis=0)
+
+        # affine injector forward: (x - bias) * exp(-scale)
+        s_w0, s_w1, s_b1, s_w2, s_b2 = (take() for _ in range(5))
+        b_w0, b_w1, b_b1, b_w2, b_b2 = (take() for _ in range(5))
+        scale = mlp_cond(c, s_w0, s_w1, s_b1, s_w2, s_b2)
+        bias = mlp_cond(c, b_w0, b_w1, b_b1, b_w2, b_b2)
+        x = (x - bias) * jnp.exp(-scale)
+
+    out_ref[0] = x
+
+
+def _f_weights(flow_blocks):
+    """Flow-block params (FORWARD order) -> flat transposed weights."""
+    out, splits = [], []
+    for i in range(len(flow_blocks)):
+        bp = flow_blocks[i]
+        split = 1 if i % 2 == 0 else 2
+        out.append(jnp.exp(bp["actnorm"]["logs"]).reshape(-1, 1))
+        out.append(bp["actnorm"]["bias"].reshape(-1, 1))
+        out.append(bp["inv1x1"]["W"])                      # rows: x' = W x
+        net = bp["coupling1"]["bias_net"]
+        out.append(jnp.transpose(net["w0"][split:]))       # w0_c [64, cdim]
+        out.append(net["w0"][:split].T)                    # w0_h [64, split]
+        out.extend([jnp.transpose(net["w1"]), net["b1"][:, None],
+                    jnp.transpose(net["w2"]), net["b2"][:, None]])
+
+        def a1d_cond(net):
+            out.extend([jnp.transpose(net["w0"]),
+                        jnp.transpose(net["w1"]), net["b1"][:, None],
+                        jnp.transpose(net["w2"]), net["b2"][:, None]])
+
+        a1d_cond(bp["coupling2"]["scale_net"])
+        a1d_cond(bp["coupling2"]["bias_net"])
+        splits.append(split)
+    return out, tuple(splits)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def flow_f_pallas(flow_blocks, x: jax.Array, cs,
+                  interpret: bool = False):
+    """Forward flow: points [B, N, C] + per-block conditions
+    [B, N, cdim] -> latents [B, N, C], as one Pallas kernel (inference
+    only — no logdet, no VJP)."""
+    B0, N0, C = x.shape
+    num_blocks = len(flow_blocks)
+    weights, splits = _f_weights(flow_blocks)
+
+    # P patches fuse into one grid program; conditions bound VMEM
+    B, n = B0, N0
+    cdim_total = sum(c.shape[-1] for c in cs)
+    for P in (8, 4, 2, 1):
+        if B0 % P == 0 and P * n * cdim_total * 4 <= 8 * 1024 * 1024:
+            break
+    if P > 1:
+        B, n = B0 // P, P * N0
+        x = x.reshape(B, n, C)
+        cs = [c.reshape(B, n, c.shape[-1]) for c in cs]
+
+    x_cm = jnp.swapaxes(x, 1, 2)                           # [B, C, n]
+    cs_in = [jnp.swapaxes(c, 1, 2) for c in cs]            # [B, cdim, n]
+
+    kernel = functools.partial(_flow_f_kernel, num_blocks=num_blocks,
+                               splits=splits, interp=interpret)
+    cs_specs = [
+        pl.BlockSpec((1, c.shape[1], n), lambda bb: (bb, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for c in cs_in
+    ]
+    w_specs = [
+        pl.BlockSpec(w.shape, (lambda bb, nd=w.ndim: (0,) * nd),
+                     memory_space=pltpu.VMEM)
+        for w in weights
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, C, n), lambda bb: (bb, 0, 0),
+                               memory_space=pltpu.VMEM)] + cs_specs + w_specs,
+        out_specs=pl.BlockSpec((1, C, n), lambda bb: (bb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, C, n), jnp.float32),
+        interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(x_cm.astype(jnp.float32), *cs_in, *weights)
+    return jnp.swapaxes(out, 1, 2).reshape(B0, N0, C)
 
 
 @functools.partial(jax.jit, static_argnums=(3,))

@@ -201,3 +201,38 @@ def test_flow_g_kernel_matches_xla(folded):
     finally:
         flow_pallas.FLOW_PASSES = old
         flow_g_pallas.clear_cache()
+
+
+def test_flow_f_kernel_matches_xla(folded):
+    """The fused forward flow (points -> latents, no logdet) matches
+    f_transform's z output on REAL encoder conditions (synthetic random
+    conditions amplify through the injector exp() to ~1e9 scales the real
+    chain never sees)."""
+    from puflow_tpu.models import discrete
+    from puflow_tpu.ops.knn import knn_indices
+    from puflow_tpu.ops.pallas import flow_pallas
+    from puflow_tpu.ops.pallas.flow_pallas import flow_f_pallas
+
+    params, state = folded
+    B, n = 2, 64
+    x = jax.random.normal(jax.random.PRNGKey(4), (B, n, 3)) * 0.3
+    idx = knn_indices(x, x, 16)
+    cs, _ = discrete.feat_extract(params, state, x, idx, train=False)
+    z_ref, _ = discrete.f_transform(params, x, cs)
+    assert np.abs(np.asarray(z_ref)).max() < 50  # sane latent scale
+    # the f kernel pins 3-pass (exact) matmuls internally (2-pass measured
+    # 7% z error — forward intermediates reach +-130); ~6e-6-relative
+    # rounding still amplifies through six injector exp() stages
+    z_k = flow_f_pallas(params["flow_blocks"], x, cs, True)
+    np.testing.assert_allclose(np.asarray(z_k), np.asarray(z_ref),
+                               atol=2e-3)
+
+
+def test_flow_f_gate_and_fallback():
+    from puflow_tpu.models.discrete import (FLOW_F_FUSED_MAX_N,
+                                            use_fused_flow_f)
+
+    assert FLOW_F_FUSED_MAX_N == 2048
+    assert use_fused_flow_f(2048, backend="tpu")
+    assert not use_fused_flow_f(2049, backend="tpu")
+    assert not use_fused_flow_f(256, backend="cpu")
