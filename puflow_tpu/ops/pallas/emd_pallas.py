@@ -60,7 +60,12 @@ def _auction_kernel(xyz1_ref, xyz2_ref, assign_out_ref, dist_out_ref,
     def body(it, _):
         value = base_ref[...] - price_ref[...]              # [n, m]
         m1 = jnp.max(value, axis=1, keepdims=True)          # [n, 1]
-        idx1 = jnp.argmax(value, axis=1).astype(jnp.int32)[:, None]
+        # min lane index among exact-max entries == argmax's
+        # first-occurrence tie rule, but Mosaic lowers max +
+        # equality-select + min faster than its argmax reduction (same
+        # finding as fps_pallas.py).
+        idx1 = jnp.min(jnp.where(value == m1, colio, jnp.int32(2 ** 30)),
+                       axis=1, keepdims=True)
         m2 = jnp.max(jnp.where(colio == idx1, _NEG_BIG, value), axis=1,
                      keepdims=True)
         unass = assign_ref[...] < 0                         # [n, 1]
@@ -68,7 +73,9 @@ def _auction_kernel(xyz1_ref, xyz2_ref, assign_out_ref, dist_out_ref,
 
         bidmat = jnp.where((colio == idx1) & unass, bid, _NEG_BIG)
         colmax = jnp.max(bidmat, axis=0, keepdims=True)     # [1, m]
-        colwin = jnp.argmax(bidmat, axis=0).astype(jnp.int32)[None, :]
+        colwin = jnp.min(jnp.where(bidmat == colmax, rowio,
+                                   jnp.int32(2 ** 30)),
+                         axis=0, keepdims=True)
         got = colmax > _NEG_BIG / 2
 
         won = jnp.any((rowio == colwin) & (bidmat > _NEG_BIG / 2),
