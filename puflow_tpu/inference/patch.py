@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from puflow_tpu.ops.chamfer import chamfer_parts
 from puflow_tpu.ops.fps import (farthest_point_sample,
-                                farthest_point_sample_seeded)
+                                farthest_point_sample_seeded_grouped)
 from puflow_tpu.ops.knn import gather_points, knn_indices
 
 
@@ -146,7 +146,7 @@ def jitter_cloud(key, pc: jax.Array, sigma: float = 0.010,
 def upsample_cloud_impl(model_params, pc: jax.Array, sample_fn, npoint: int,
                         upratio: int = 4, patch_size: int = 256,
                         expand_ratio: float = 4.0, merge_candidates=None,
-                        seeded_merge: bool = True,
+                        seeded_merge: bool = True, merge_groups: int = 4,
                         jitter_key=None) -> jax.Array:
     """Upsample whole clouds patch-wise.
 
@@ -193,7 +193,11 @@ def upsample_cloud_impl(model_params, pc: jax.Array, sample_fn, npoint: int,
         # cost). Cuts selection steps ~25% and candidates ~18% at the x4
         # defaults. Not index-identical to the reference's FPS — gated by
         # the golden pipeline-CD tests like every fast path.
-        sel = farthest_point_sample_seeded(pred, pc_n, npoint - N)
+        # grouped two-level selection (merge_groups strided subsets run
+        # their FPS in parallel -> ~merge_groups x fewer sequential
+        # steps); merge_groups=1 is the exact seeded FPS
+        sel = farthest_point_sample_seeded_grouped(pred, pc_n, npoint - N,
+                                                   merge_groups)
         merged = jnp.concatenate(
             [pc_n, gather_points(pred, sel)], axis=1)      # [B, npoint, 3]
     else:
@@ -217,7 +221,7 @@ def upsample_cloud_impl(model_params, pc: jax.Array, sample_fn, npoint: int,
     return merged * g_furthest + g_centroid
 
 
-upsample_cloud = partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))(
+upsample_cloud = partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))(
     upsample_cloud_impl)
 
 
@@ -235,7 +239,7 @@ def upsample_cloud_sharded(mesh, model_params, pc, sample_fn, npoint: int,
 
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
-    fn = jax.jit(upsample_cloud_impl, static_argnums=(2, 3, 4, 5, 6, 7, 8),
+    fn = jax.jit(upsample_cloud_impl, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9),
                  in_shardings=(rep, bsh), out_shardings=bsh)
     return fn(jax.device_put(model_params, rep), jax.device_put(pc, bsh),
               sample_fn, npoint, upratio, patch_size, expand_ratio)

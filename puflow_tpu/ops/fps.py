@@ -67,6 +67,46 @@ def farthest_point_sample_seeded(xyz: jax.Array, seeds: jax.Array,
     return farthest_point_sample_seeded_xla(xyz, seeds, n_samples)
 
 
+def farthest_point_sample_seeded_grouped(xyz: jax.Array, seeds: jax.Array,
+                                         n_samples: int, groups: int,
+                                         use_pallas: bool | None = None
+                                         ) -> jax.Array:
+    """Grouped (two-level) seeded FPS: ~`groups`x fewer sequential steps.
+
+    Candidates split into `groups` STRIDED subsets (candidate j goes to
+    group ``j % groups`` — a uniform subsample of every patch in the merge
+    union); every group runs an independent seeded FPS over its subset,
+    and all groups advance in parallel as extra batch rows of the same
+    kernel, so the sequential step count drops from ``n_samples`` to
+    ``ceil(n_samples / groups)`` at identical per-step cost. Group picks
+    are interleaved in STEP order (pick 0 of every group first), so
+    truncating to ``n_samples`` drops only the least-important tail picks.
+
+    Within a group the FPS min-distance invariant holds exactly; across
+    groups it is not enforced (each group is blind to the others' picks),
+    so the selection is not index-identical to the exact seeded FPS —
+    callers gate it by output quality (the pipeline golden-CD tests),
+    like every other fast path. ``groups=1`` is the exact path; shapes
+    that do not divide evenly fall back to it.
+    """
+    B, M, C = xyz.shape
+    if groups <= 1 or M % groups != 0 or n_samples < groups:
+        return farthest_point_sample_seeded(xyz, seeds, n_samples,
+                                            use_pallas)
+    G = groups
+    mg = -(-n_samples // G)
+    grouped = jnp.transpose(xyz.reshape(B, M // G, G, C), (0, 2, 1, 3))
+    grouped = grouped.reshape(B * G, M // G, C)
+    S = seeds.shape[1]
+    seeds_rep = jnp.broadcast_to(seeds[:, None], (B, G, S, C))
+    seeds_rep = seeds_rep.reshape(B * G, S, C)
+    sel = farthest_point_sample_seeded(grouped, seeds_rep, mg, use_pallas)
+    sel = sel.reshape(B, G, mg) * G + jnp.arange(
+        G, dtype=sel.dtype)[None, :, None]                 # strided -> global
+    sel = jnp.transpose(sel, (0, 2, 1)).reshape(B, G * mg)
+    return sel[:, :n_samples]
+
+
 def farthest_point_sample_seeded_xla(xyz: jax.Array, seeds: jax.Array,
                                      n_samples: int) -> jax.Array:
     """XLA formulation of :func:`farthest_point_sample_seeded`."""

@@ -156,6 +156,47 @@ class TestFps:
             assert ck <= cr * 1.15 + 1e-7, (
                 f"cloud {b}: kernel coverage radius {ck} vs xla {cr}")
 
+    def test_seeded_fps_grouped(self):
+        # Grouped two-level selection: indices must land on the right
+        # strided subsets in step-major interleave order, be unique, and
+        # keep the FPS objective (coverage radius) close to exact.
+        from puflow_tpu.ops.fps import (
+            farthest_point_sample_seeded,
+            farthest_point_sample_seeded_grouped,
+        )
+
+        rng = np.random.RandomState(4)
+        pts_np = rng.rand(2, 160, 3).astype(np.float32)
+        seeds_np = rng.rand(2, 33, 3).astype(np.float32)
+        pts, seeds = jnp.asarray(pts_np), jnp.asarray(seeds_np)
+        m, G = 40, 4
+        got = np.asarray(
+            farthest_point_sample_seeded_grouped(pts, seeds, m, G))
+        assert got.shape == (2, m)
+        # step-major interleave: position i belongs to group i % G
+        assert (got % G == np.arange(m)[None] % G).all()
+        for b in range(2):
+            assert len(set(got[b])) == m, "duplicate selections"
+
+        exact = np.asarray(farthest_point_sample_seeded(pts, seeds, m))
+
+        def coverage(sel, b):
+            chosen = np.concatenate([seeds_np[b], pts_np[b][sel]])
+            d = ((pts_np[b][:, None] - chosen[None]) ** 2).sum(-1)
+            return d.min(1).max()
+
+        for b in range(2):
+            cg, ce = coverage(got[b], b), coverage(exact[b], b)
+            assert cg <= ce * 2.0 + 1e-7, (
+                f"cloud {b}: grouped coverage radius {cg} vs exact {ce}")
+
+        # non-dividing shapes fall back to the exact seeded path
+        odd = np.asarray(
+            farthest_point_sample_seeded_grouped(pts[:, :159], seeds, m, G))
+        ref = np.asarray(
+            farthest_point_sample_seeded(pts[:, :159], seeds, m))
+        np.testing.assert_array_equal(odd, ref)
+
 
 class TestChamfer:
     def test_parts_vs_numpy(self):

@@ -154,9 +154,9 @@ def test_full_pipeline_matches_reference():
     mp = (jax.tree.map(jnp.asarray, params), jax.tree.map(jnp.asarray, state))
     cloud = jnp.asarray(pts)[None]
 
-    def run(seeded):
+    def run(seeded, groups=4):
         out = upsample_cloud(mp, cloud, sample_fn, 512 * 4 + 24, 4, 256,
-                             4.0, None, seeded)
+                             4.0, None, seeded, groups)
         return np.asarray(remove_outliers(out, cloud, 24))[0]
 
     def cd_vs_ref(ours):
@@ -179,9 +179,13 @@ def test_full_pipeline_matches_reference():
     # predictions; different selection pattern, same 1e-3 gate as the
     # other golden-CD-gated fast paths — and it must not be farther from
     # the TRUE surface than the reference output is
-    seeded = run(True)
-    cd_s = cd_vs_ref(seeded)
-    assert cd_s < 1e-3, f"seeded merge diverges: CD={cd_s}"
-    assert sphere_err(seeded) <= sphere_err(ref_out) * 1.05, (
-        f"seeded merge lost surface accuracy: "
-        f"{sphere_err(seeded):.2e} vs reference {sphere_err(ref_out):.2e}")
+    for groups in (1, 4):   # exact seeded FPS and the grouped default
+        # (G=8 measured CD 1.11e-3 on this fixture — above the gate; G=4
+        # is 8.30e-4 with the true-surface accuracy still better than the
+        # reference output's)
+        seeded = run(True, groups)
+        cd_s = cd_vs_ref(seeded)
+        assert cd_s < 1e-3, f"seeded merge (G={groups}) diverges: CD={cd_s}"
+        assert sphere_err(seeded) <= sphere_err(ref_out) * 1.05, (
+            f"seeded merge (G={groups}) lost surface accuracy: "
+            f"{sphere_err(seeded):.2e} vs reference {sphere_err(ref_out):.2e}")
