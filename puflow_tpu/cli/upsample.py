@@ -42,6 +42,10 @@ def main(argv=None):
                              "comparisons")
     parser.add_argument("--batch", type=int, default=1,
                         help="clouds per device batch")
+    parser.add_argument("--merge_groups", type=int, default=4,
+                        help="grouped-merge FPS parallelism (1 = exact "
+                             "seeded FPS; higher = fewer sequential "
+                             "selection steps, CD-gated default 4)")
     args = parser.parse_args(argv)
 
     import jax
@@ -108,7 +112,7 @@ def main(argv=None):
             clouds = jnp.asarray(clouds)
             pred = upsample_cloud(
                 model_params, clouds, sample_fn, npoint, args.up_ratio,
-                args.num_patch, 4.0, merge_cand, seeded)
+                args.num_patch, 4.0, merge_cand, seeded, args.merge_groups)
             if args.num_outlier > 0:
                 pred = remove_outliers(pred, clouds, args.num_outlier)
             prev, pending = pending, (chunk, pred)
