@@ -42,10 +42,11 @@ def main(argv=None):
                              "comparisons")
     parser.add_argument("--batch", type=int, default=1,
                         help="clouds per device batch")
-    parser.add_argument("--merge_groups", type=int, default=4,
-                        help="grouped-merge FPS parallelism (1 = exact "
-                             "seeded FPS; higher = fewer sequential "
-                             "selection steps, CD-gated default 4)")
+    parser.add_argument("--merge_groups", type=int, default=0,
+                        help="grouped-merge FPS parallelism (0 = auto by "
+                             "candidate count, 1 = exact seeded FPS; "
+                             "higher = fewer sequential selection steps, "
+                             "CD-gated)")
     args = parser.parse_args(argv)
 
     import jax

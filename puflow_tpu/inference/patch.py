@@ -146,7 +146,7 @@ def jitter_cloud(key, pc: jax.Array, sigma: float = 0.010,
 def upsample_cloud_impl(model_params, pc: jax.Array, sample_fn, npoint: int,
                         upratio: int = 4, patch_size: int = 256,
                         expand_ratio: float = 4.0, merge_candidates=None,
-                        seeded_merge: bool = True, merge_groups: int = 4,
+                        seeded_merge: bool = True, merge_groups: int = 0,
                         jitter_key=None) -> jax.Array:
     """Upsample whole clouds patch-wise.
 
@@ -195,9 +195,15 @@ def upsample_cloud_impl(model_params, pc: jax.Array, sample_fn, npoint: int,
         # the golden pipeline-CD tests like every fast path.
         # grouped two-level selection (merge_groups strided subsets run
         # their FPS in parallel -> ~merge_groups x fewer sequential
-        # steps); merge_groups=1 is the exact seeded FPS
+        # steps); merge_groups=1 is the exact seeded FPS, 0 = auto:
+        # group only while every subset keeps >= 8192 candidates (the
+        # grouping perturbation shrinks with subset size; small clouds —
+        # including the golden-gate fixture — stay exact, the x4
+        # 2048-cloud bench shape gets G=4)
+        G = merge_groups if merge_groups > 0 else min(
+            4, max(1, pred.shape[1] // 8192))
         sel = farthest_point_sample_seeded_grouped(pred, pc_n, npoint - N,
-                                                   merge_groups)
+                                                   G)
         merged = jnp.concatenate(
             [pc_n, gather_points(pred, sel)], axis=1)      # [B, npoint, 3]
     else:

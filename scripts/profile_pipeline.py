@@ -47,12 +47,13 @@ def main():
     pred_full = (pred * furth + cent).reshape(B, -1, 3)
     print("candidates shape:", pred_full.shape)
 
-    from puflow_tpu.ops.fps import farthest_point_sample_seeded
+    from puflow_tpu.ops.fps import farthest_point_sample_seeded_grouped
     from puflow_tpu.ops.knn import gather_points
 
     @jax.jit
     def merge(cand, orig):
-        sel = farthest_point_sample_seeded(cand, orig, npoint - N)
+        # shipped default: grouped seeded FPS (G=4)
+        sel = farthest_point_sample_seeded_grouped(cand, orig, npoint - N, 4)
         return jnp.concatenate([orig, gather_points(cand, sel)], axis=1)
 
     merge(pred_full, pc_n)
