@@ -164,4 +164,13 @@ if __name__ == "__main__":
         bench_cnf()
     except Exception as e:  # secondary line must never kill the headline
         print(f"cnf bench skipped: {e}")
-    main()
+    try:
+        main()
+    except Exception as e:
+        # one retry: the remote-TPU tunnel occasionally drops a single
+        # request; a hard-down tunnel will fail again immediately
+        import traceback
+
+        traceback.print_exc()
+        print(f"headline bench attempt 1 failed ({e}); retrying once")
+        main()
