@@ -169,12 +169,24 @@ def farthest_point_sample_seeded_pallas(xyz: jax.Array, seeds: jax.Array,
     [B, n_samples] int32 candidate indices (see ops/fps.py docstring).
 
     Two kernels: an MXU seeding pass produces the nearest-seed distance
-    cache, then the selection kernel runs the sequential argmax loop."""
+    cache, then the selection kernel runs the sequential argmax loop.
+
+    Batches whose VMEM working set exceeds the budget are processed in
+    row-chunks (every batch row is an independent FPS — unlike the plain
+    kernel there is no per-cloud grid variant to fall back to)."""
     B, N, _ = xyz.shape
     S = seeds.shape[1]
     np_ = _round_up(N, 128)
     sp_ = _round_up(S, 128)
     mp_ = _round_up(n_samples, 128)
+
+    max_rows = max(8, _VMEM_BUDGET // (np_ * 4 * _PLANES))
+    if B > max_rows:
+        return jnp.concatenate(
+            [farthest_point_sample_seeded_pallas(
+                xyz[i:i + max_rows], seeds[i:i + max_rows], n_samples,
+                interpret)
+             for i in range(0, B, max_rows)], axis=0)
 
     xyz = xyz.astype(jnp.float32)
     seeds = seeds.astype(jnp.float32)

@@ -156,6 +156,25 @@ class TestFps:
             assert ck <= cr * 1.15 + 1e-7, (
                 f"cloud {b}: kernel coverage radius {ck} vs xla {cr}")
 
+    def test_seeded_fps_pallas_row_chunking(self, monkeypatch):
+        # Oversized batches split into row-chunks (independent rows);
+        # results must equal the unchunked kernel exactly. B=18 with a
+        # 1-row budget chunks as 8/8/2 (8 is the floor); jit caches key on
+        # shapes only, so clear them after patching the budget.
+        from puflow_tpu.ops.pallas import fps_pallas
+
+        rng = np.random.RandomState(5)
+        pts = jnp.asarray(rng.randint(0, 11, (18, 140, 3)).astype(np.float32))
+        seeds = jnp.asarray(rng.randint(0, 11, (18, 20, 3)).astype(np.float32))
+        whole = np.asarray(fps_pallas.farthest_point_sample_seeded_pallas(
+            pts, seeds, 16, interpret=True))
+        monkeypatch.setattr(fps_pallas, "_VMEM_BUDGET", 256 * 4 * 10)
+        jax.clear_caches()
+        chunked = np.asarray(fps_pallas.farthest_point_sample_seeded_pallas(
+            pts, seeds, 16, interpret=True))
+        jax.clear_caches()  # don't leak budget-patched traces to other tests
+        np.testing.assert_array_equal(whole, chunked)
+
     def test_seeded_fps_grouped(self):
         # Grouped two-level selection: indices must land on the right
         # strided subsets in step-major interleave order, be unique, and
