@@ -25,11 +25,13 @@ jax.config.update("jax_enable_x64", False)
 # (the cache key covers HLO + jaxlib/backend versions, so edits that change
 # the computation recompile as usual).
 #
-# SEPARATE dir from the TPU-side scripts' cache: this machine's remote TPU
-# compile helper runs a different python/jaxlib and writes CPU AOT entries
-# compiled with mismatched host CPU features into a shared dir — loading
-# those from the test process SEGFAULTS (observed round 3: crash inside
+# SEPARATE dir from the TPU-side scripts' cache, and fingerprinted by host
+# CPU flags + jaxlib: sessions migrate between hosts and the remote TPU
+# compile helper runs a different python/jaxlib — either writes CPU AOT
+# entries with mismatched target features into a shared dir, and loading
+# those SEGFAULTS (observed round 3: crash inside
 # compilation_cache.get_executable_and_time at 97% of the suite).
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/puflow_tpu_jax_cpu"))
+from puflow_tpu.utils.cache import cpu_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
