@@ -33,11 +33,33 @@ _NEG_BIG = -1e9
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
 
 
+def _onehot_dot(sel_bf16, rhs_bf16, interp: bool):
+    """Exact one-hot gather as a bf16 MXU matmul.
+
+    Every row of ``sel_bf16`` is one-hot (or all-zero) and every gathered
+    value fits bf16's 8-bit mantissa exactly (< 256 by construction), so
+    the product is exact and there is no accumulation. Mosaic requires
+    DEFAULT contract precision for bf16 operands; interpret mode (XLA:CPU)
+    can't run a standalone bf16 x bf16 -> f32 dot, and computing on f32
+    upcasts is bit-identical here.
+    """
+    if interp:
+        return jax.lax.dot_general(
+            sel_bf16.astype(jnp.float32), rhs_bf16.astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
+    return jax.lax.dot_general(
+        sel_bf16, rhs_bf16, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
+
+
 def _auction_kernel(xyz1_ref, xyz2_ref, assign_out_ref, dist_out_ref,
                     price_ref, inv_ref, assign_ref, base_ref, *, eps: float,
-                    iters: int, n: int, m: int):
+                    iters: int, n: int, m: int, interp: bool):
     colio = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
     rowio = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
+    rowcol = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     price_ref[...] = jnp.zeros((1, m), jnp.float32)
     inv_ref[...] = jnp.full((1, m), -1, jnp.int32)
     assign_ref[...] = jnp.full((n, 1), -1, jnp.int32)
@@ -66,22 +88,38 @@ def _auction_kernel(xyz1_ref, xyz2_ref, assign_out_ref, dist_out_ref,
         # finding as fps_pallas.py).
         idx1 = jnp.min(jnp.where(value == m1, colio, jnp.int32(2 ** 30)),
                        axis=1, keepdims=True)
-        m2 = jnp.max(jnp.where(colio == idx1, _NEG_BIG, value), axis=1,
+        sel = colio == idx1                                 # [n, m]
+        m2 = jnp.max(jnp.where(sel, _NEG_BIG, value), axis=1,
                      keepdims=True)
         unass = assign_ref[...] < 0                         # [n, 1]
         bid = m1 - m2 + eps
 
-        bidmat = jnp.where((colio == idx1) & unass, bid, _NEG_BIG)
+        bidmat = jnp.where(sel & unass, bid, _NEG_BIG)
         colmax = jnp.max(bidmat, axis=0, keepdims=True)     # [1, m]
         colwin = jnp.min(jnp.where(bidmat == colmax, rowio,
                                    jnp.int32(2 ** 30)),
                          axis=0, keepdims=True)
         got = colmax > _NEG_BIG / 2
 
-        won = jnp.any((rowio == colwin) & (bidmat > _NEG_BIG / 2),
-                      axis=1, keepdims=True)                # [n, 1]
-        displaced = jnp.any(got & (inv_ref[...] == rowio), axis=1,
-                            keepdims=True)
+        # `won`/`displaced` are row-gathers of the column state at each
+        # row's bid / owned column. Lane-dynamic gathers are not
+        # expressible in Mosaic and full [n, m] reduce sweeps are the
+        # VPU bottleneck (two sweeps ~21% of kernel time measured); an
+        # exact one-hot bf16 MXU matmul does both in one tiny op. colwin
+        # is split (hi, lo) = (>>5, &31) so each gathered value is < 32
+        # (bf16-exact; exact up to n = 8192).
+        hi = jnp.transpose((colwin >> 5).astype(jnp.bfloat16))   # [m, 1]
+        lo = jnp.transpose((colwin & 31).astype(jnp.bfloat16))   # [m, 1]
+        gotf = jnp.transpose(got.astype(jnp.bfloat16))           # [m, 1]
+        rhs = jnp.concatenate([hi, lo, gotf], axis=1)            # [m, 3]
+        sel_bid = (sel & unass).astype(jnp.bfloat16)             # [n, m]
+        sel_own = (colio == assign_ref[...]).astype(jnp.bfloat16)
+        gath_b = _onehot_dot(sel_bid, rhs, interp)               # [n, 3]
+        gath_o = _onehot_dot(sel_own, rhs, interp)
+        win_at_bid = (gath_b[:, 0:1] * 32.0
+                      + gath_b[:, 1:2]).astype(jnp.int32)
+        won = unass & (gath_b[:, 2:3] > 0.5) & (win_at_bid == rowcol)
+        displaced = gath_o[:, 2:3] > 0.5       # my owned column was rebid
 
         new_assign = jnp.where(won, idx1,
                                jnp.where(displaced, -1, assign_ref[...]))
@@ -116,7 +154,7 @@ def emd_auction_pallas(xyz1: jax.Array, xyz2: jax.Array,
     m = xyz2.shape[1]
 
     kernel = functools.partial(_auction_kernel, eps=eps, iters=iters,
-                               n=n, m=m)
+                               n=n, m=m, interp=interpret)
     assign, dist = pl.pallas_call(
         kernel,
         grid=(B,),

@@ -87,12 +87,16 @@ def _kernel_v2(xyz1_ref, xyz2_ref, assign_out_ref, dist_out_ref,
         rhs = jnp.concatenate([hi, lo, gotf], axis=1)            # [m, 3]
         sel_bid = (sel & unass).astype(jnp.bfloat16)             # [n, m]
         sel_own = (colio == assign_ref[...]).astype(jnp.bfloat16)
+        # bf16 dots need DEFAULT contract precision — Mosaic rejects the
+        # fp32-precision form with bf16 operands ("Bad lhs type").
         gath_b = jax.lax.dot_general(
             sel_bid, rhs, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                  # [n, 3]
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)                 # [n, 3]
         gath_o = jax.lax.dot_general(
             sel_own, rhs, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
         win_at_bid = (gath_b[:, 0:1] * 32.0 + gath_b[:, 1:2]).astype(
             jnp.int32)
         bid_got = gath_b[:, 2:3] > 0.5
