@@ -15,6 +15,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# MUST be the env var, not just the config update below: the package
+# __init__ re-applies JAX_PLATFORMS from the environment (to un-swallow it
+# on hosts whose sitecustomize pre-registers the TPU plugin), so a session
+# env of JAX_PLATFORMS=axon would silently flip the whole suite onto the
+# TPU tunnel after the first `import puflow_tpu` (observed round 3: the
+# moving-BN logdet test failing by 1.7e-5 — TPU f32 exp/log drift).
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
