@@ -83,9 +83,15 @@ def moving_bn_forward(params, state, x, logpx=None, train: bool = False,
 
 
 def moving_bn_reverse(params, state, y, logpy=None):
-    """Inverse pass; always uses running statistics (reference `:102-113`)."""
-    y = (y - params["bias"]) * jnp.exp(-params["weight"])
-    x = y * jnp.exp(0.5 * jnp.log(state["var"] + EPS)) + state["mean"]
+    """Inverse pass; always uses running statistics (reference `:102-113`).
+
+    Divides by the SAME factors the forward multiplies with (rather than
+    multiplying by independently-computed reciprocals): `exp(-a)` is not
+    bit-wise `1/exp(a)` under approximate libm, and the drift is
+    host-dependent — division keeps the roundtrip at ~1 ULP everywhere.
+    """
+    y = (y - params["bias"]) / jnp.exp(params["weight"])
+    x = y / jnp.exp(-0.5 * jnp.log(state["var"] + EPS)) + state["mean"]
     if logpy is None:
         return x, None
     ld = -0.5 * jnp.log(state["var"] + EPS) + params["weight"]

