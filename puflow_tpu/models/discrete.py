@@ -299,6 +299,36 @@ def forward(params, state, xyz, upratio: int, train: bool = False,
     the condition encoder; "same" follows `dtype`.
     """
     knn_idx = knn_indices(xyz, xyz, spec.num_neighbors)
+
+    # Fused inference path: the latent interpolation BLEND runs in the
+    # g kernel's prologue (channel-major one-hot gather; +0.35 ms vs the
+    # 16.5 ms standalone interp_latents launch at 1024 patches) and f
+    # hands its latents over in its packed channel-major layout — the
+    # interpolated latents never round-trip HBM. The weight head stays a
+    # separate kernel: folding it into the encoder ran its ops at
+    # Mosaic's degraded large-body rate (+25 ms, see _encoder_kernel).
+    N = xyz.shape[1]
+    folded = ("bn" not in params["feat_convs"][0]["convs"][0]
+              and "bn0" not in params["interp"]["weight_unit"])
+    if (fast_f and not train and folded and (8 * N) % 128 == 0
+            and use_fused_encoder(N, spec.num_neighbors)
+            and use_fused_flow_f(N) and use_fused_flow_g(N, upratio)):
+        from puflow_tpu.ops.pallas.encoder_pallas import (
+            encoder_conditions_pallas,
+            interp_weights_cm_pallas,
+        )
+        from puflow_tpu.ops.pallas.flow_pallas import (
+            flow_f_pallas,
+            flow_g_blend_pallas,
+        )
+
+        idx8 = knn_idx[..., :8]  # K=16 sorted -> first 8 ARE the K=8 graph
+        cs = encoder_conditions_pallas(params, xyz, knn_idx)
+        ws = interp_weights_cm_pallas(params["interp"], xyz, idx8, upratio)
+        z_cm = flow_f_pallas(params["flow_blocks"], xyz, cs, emit_cm=True)
+        x = flow_g_blend_pallas(params["flow_blocks"], z_cm, ws, idx8, cs)
+        return x, jnp.float32(jnp.nan), state
+
     cs, feat_s = feat_extract(params, state, xyz, knn_idx, train, dtype=dtype)
     if fast_f and not train and use_fused_flow_f(xyz.shape[1]):
         # fused forward flow (inference): z only — the log-density is NOT

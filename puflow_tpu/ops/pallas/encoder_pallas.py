@@ -138,6 +138,15 @@ FAST_ELEMENTWISE = False
 
 def _encoder_kernel(xyz_ref, idx_ref, *refs, n: int, k: int,
                     growths, odims, precision=None):
+    """Condition encoder kernel.
+
+    NOTE (round 3, measured): folding the interpolation weight head into
+    this kernel (it shares the one-hot graph) looked like a free launch
+    saving but ran the head's ~20 ops at the LARGE-BODY op rate — Mosaic's
+    per-op cost degrades ~10x once a kernel body grows past a few dozen
+    ops (34 -> 339 ns/dot/patch in a controlled chain experiment), so the
+    fused variant cost +25 ms/1024 patches vs +8 standalone. Keep kernel
+    bodies moderate; the head stays in `interp_logits_pallas`."""
     num_blocks = len(odims)
     if precision is None:
         precision = ((2, 3),) * num_blocks
@@ -336,6 +345,24 @@ def encoder_conditions_pallas(params, xyz: jax.Array, knn_idx: jax.Array,
         compiler_params=_COMPILER_PARAMS,
     )(xyz.astype(jnp.float32), idx_sm, *weights)
     return list(cs)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def interp_weights_cm_pallas(interp_params, xyz: jax.Array,
+                             knn_idx: jax.Array, upratio: int,
+                             interpret: bool = False):
+    """Softmaxed interpolation weights, CHANNEL-major: the layout
+    `flow_g_blend_pallas` consumes (``[B, upratio, k*n]``, column
+    ks*n + p). Logits come from the fused weight-head kernel; the softmax
+    over neighbour slots + relayout run in XLA (in-kernel Mosaic
+    transposes of the [n, r] slices measured ~12 ms/1024 patches; XLA
+    does this tail in well under 1 ms)."""
+    B, n, _ = xyz.shape
+    k = knn_idx.shape[-1]
+    logits = interp_logits_pallas(interp_params, xyz, knn_idx, interpret)
+    # [B, n, k, r_max] -> softmax over the k slots -> [B, r, k*n]
+    w = jax.nn.softmax(logits[..., :upratio].astype(jnp.float32), axis=2)
+    return jnp.transpose(w, (0, 3, 2, 1)).reshape(B, upratio, k * n)
 
 
 # ---------------------------------------------------------------------------

@@ -94,22 +94,12 @@ def _dot(a, b, interp: bool = False, passes: int | None = None):
             + bf16_dot(a_lo, b_hi))
 
 
-def _flow_g_kernel(z_ref, *refs, num_blocks: int, splits, r: int,
-                   interp: bool = False):
-    """refs: un-repeated cs inputs (num_blocks, channel-major [cdim, n]),
-    weight refs, out ref. State z is slot-major [3, m], m = n * r.
-    `interp` routes the bf16 dots through an XLA:CPU-executable form."""
+def _flow_g_body(z, cs, take, *, num_blocks: int, splits, r: int,
+                 interp: bool = False):
+    """Inverse-flow chain on VMEM values: z slot-major [3, m] (m = n*r),
+    cs un-repeated channel-major [cdim, n] per block (inverse order).
+    Shared by the plain g kernel and the blend-fused variant."""
     _dot = functools.partial(globals()["_dot"], interp=interp)
-    cs_refs = refs[:num_blocks]
-    weight_refs = refs[num_blocks:-1]
-    out_ref = refs[-1]
-    wi = 0
-
-    def take():
-        nonlocal wi
-        w = weight_refs[wi][...]
-        wi += 1
-        return w
 
     def rep(x):
         # slot-major repeat of [C, n] -> [C, m]: whole-array lane tiling
@@ -122,9 +112,8 @@ def _flow_g_kernel(z_ref, *refs, num_blocks: int, splits, r: int,
         h = _lrelu(_dot(w1, h) + b1)
         return _dot(w2, h) + b2
 
-    z = z_ref[0]                                           # [3, m]
     for b in range(num_blocks):                            # reversed outside
-        c = cs_refs[b][0]                                  # [cdim, n]
+        c = cs[b]                                          # [cdim, n]
         split = splits[b]
 
         # affine injector inverse: z = z * exp(scale) + bias — both nets
@@ -162,7 +151,106 @@ def _flow_g_kernel(z_ref, *refs, num_blocks: int, splits, r: int,
         an_bias, an_neg_exp = take(), take()               # [3, 1] each
         z = (z - an_bias) * an_neg_exp
 
-    out_ref[0] = z
+    return z
+
+
+def _bf16_mm(a_bf16, b_bf16):
+    """Single-pass bf16 matmul with f32 accumulate (explicit DEFAULT
+    precision so the global 'highest' policy cannot reach it — Mosaic
+    rejects multi-pass forms of bf16 operands)."""
+    return jax.lax.dot_general(a_bf16, b_bf16, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.DEFAULT)
+
+
+def _flow_g_kernel(z_ref, *refs, num_blocks: int, splits, r: int,
+                   interp: bool = False):
+    """refs: un-repeated cs inputs (num_blocks, channel-major [cdim, n]),
+    weight refs, out ref. State z is slot-major [3, m], m = n * r.
+    `interp` routes the bf16 dots through an XLA:CPU-executable form."""
+    cs_refs = refs[:num_blocks]
+    weight_refs = refs[num_blocks:-1]
+    out_ref = refs[-1]
+    wi = 0
+
+    def take():
+        nonlocal wi
+        w = weight_refs[wi][...]
+        wi += 1
+        return w
+
+    out_ref[0] = _flow_g_body(z_ref[0], [c[0] for c in cs_refs], take,
+                              num_blocks=num_blocks, splits=splits, r=r,
+                              interp=interp)
+
+
+def _flow_g_blend_kernel(z_ref, idxw_ref, ws_ref, *refs, num_blocks: int,
+                         splits, r: int, k_interp: int, n0: int, P: int,
+                         interp: bool = False):
+    """Latent interpolation + inverse flow in one kernel.
+
+    Prologue: per ORIGINAL patch, gather each point's k_interp neighbour
+    latents channel-major (one-hot built lane-wise from the WIDE idx
+    layout — [W, 128] avoids the pathological 4-byte-row DMA of a
+    [k*n, 1] block) and blend them with the softmaxed weights `ws`
+    ([r, k_interp*n0], from the encoder kernel) into the slot-major fz
+    state the shared inverse-flow body consumes. Replaces the separate
+    interp_latents kernel launch entirely (reference
+    `InterpolationModule.forward` + `g`, `interpflow.py:173-186,315-321`).
+
+    z_ref: [1, 3, P*n0] P-packed latents (channel-major, the f kernel's
+    native block layout — patch i at lanes i*n0, a FREE aligned slice);
+    idxw_ref: [P, W, 128] wide K=8 indices (row ks*n0+p at
+    (w, l) = divmod(ks*n0+p, 128)); ws_ref: [P, r, k_interp*n0].
+    """
+    cs_refs = refs[:num_blocks]
+    weight_refs = refs[num_blocks:-1]
+    out_ref = refs[-1]
+    W = k_interp * n0 // 128
+    wi = 0
+
+    def take():
+        nonlocal wi
+        w = weight_refs[wi][...]
+        wi += 1
+        return w
+
+    # --- per-patch neighbour-latent gather, channel-major ---------------
+    z_packed = z_ref[0]                                    # [3, P*n0]
+    zn_all = []
+    for pi in range(P):
+        z_p = z_packed[:, pi * n0:(pi + 1) * n0]           # [3, n0]
+        zh = z_p.astype(jnp.bfloat16)
+        zl = (z_p - zh.astype(jnp.float32)).astype(jnp.bfloat16)
+        idxw = idxw_ref[pi]                                # [W, 128]
+        # one-hot TRANSPOSED, built in wide tiles: oh3[w][q, l] = 1 iff
+        # point q is the neighbour at flat row w*128 + l
+        qio = jax.lax.broadcasted_iota(jnp.int32, (W, n0, 128), 1)
+        oh3 = (qio == idxw[:, None, :]).astype(jnp.bfloat16)
+        pieces = []
+        for w in range(W):
+            oh = oh3[w]                                    # [n0, 128]
+            d = _bf16_mm(zh, oh) + _bf16_mm(zl, oh)        # [3, 128] f32
+            pieces.append(d)
+        zn_all.append(jnp.concatenate(pieces, axis=1))     # [3, k*n0]
+
+    # --- blend into slot-major fz over the PACKED lane axis -------------
+    # column layout expected by the body: s*(P*n0) + pi*n0 + p
+    slots = []
+    for s in range(r):
+        for pi in range(P):
+            zn = zn_all[pi]
+            acc = None
+            for ks in range(k_interp):
+                w_row = ws_ref[pi, s:s + 1, ks * n0:(ks + 1) * n0]  # [1,n0]
+                term = zn[:, ks * n0:(ks + 1) * n0] * w_row
+                acc = term if acc is None else acc + term
+            slots.append(acc)                              # [3, n0]
+    fz = jnp.concatenate(slots, axis=1)                    # [3, P*n0*r]
+
+    out_ref[0] = _flow_g_body(fz, [c[0] for c in cs_refs], take,
+                              num_blocks=num_blocks, splits=splits, r=r,
+                              interp=interp)
 
 
 def _g_weights(flow_blocks):
@@ -292,12 +380,25 @@ def _f_weights(flow_blocks):
     return out, tuple(splits)
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
+def _pack_patches(B0: int, N0: int, cdim_total: int) -> int:
+    """Patches fused per grid program (shared by f / g / g+blend so the
+    packed lane layout can be handed between them without a relayout);
+    the un-repeated conditions are the VMEM bound (~0.6 MB per patch)."""
+    for P in (8, 4, 2, 1):
+        if B0 % P == 0 and P * N0 * cdim_total * 4 <= 8 * 1024 * 1024:
+            return P
+    return 1
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
 def flow_f_pallas(flow_blocks, x: jax.Array, cs,
-                  interpret: bool = False):
+                  interpret: bool = False, emit_cm: bool = False):
     """Forward flow: points [B, N, C] + per-block conditions
     [B, N, cdim] -> latents [B, N, C], as one Pallas kernel (inference
-    only — no logdet, no VJP)."""
+    only — no logdet, no VJP). ``emit_cm=True`` returns the latents
+    CHANNEL-major in the kernel's P-packed lane layout
+    ([B/P, C, P*N]; patch i at lanes i*N..) — the exact block layout
+    `flow_g_blend_pallas` consumes, so the handoff is relayout-free."""
     B0, N0, C = x.shape
     num_blocks = len(flow_blocks)
     weights, splits = _f_weights(flow_blocks)
@@ -305,9 +406,7 @@ def flow_f_pallas(flow_blocks, x: jax.Array, cs,
     # P patches fuse into one grid program; conditions bound VMEM
     B, n = B0, N0
     cdim_total = sum(c.shape[-1] for c in cs)
-    for P in (8, 4, 2, 1):
-        if B0 % P == 0 and P * n * cdim_total * 4 <= 8 * 1024 * 1024:
-            break
+    P = _pack_patches(B0, N0, cdim_total)
     if P > 1:
         B, n = B0 // P, P * N0
         x = x.reshape(B, n, C)
@@ -339,6 +438,8 @@ def flow_f_pallas(flow_blocks, x: jax.Array, cs,
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
     )(x_cm.astype(jnp.float32), *cs_in, *weights)
+    if emit_cm:
+        return out                  # [B0/P, C, P*N0], f's packed layout
     return jnp.swapaxes(out, 1, 2).reshape(B0, N0, C)
 
 
@@ -355,13 +456,10 @@ def flow_g_pallas(flow_blocks, fz: jax.Array, cs,
     num_blocks = len(flow_blocks)
     weights, splits = _g_weights(flow_blocks)
 
-    # P patches fuse into one grid program (all ops are row/lane-parallel);
-    # the un-repeated conditions are the VMEM bound (~0.6 MB per patch)
+    # P patches fuse into one grid program (all ops are row/lane-parallel)
     B, n = B0, N0
     cdim_total = sum(c.shape[-1] for c in cs)
-    for P in (8, 4, 2, 1):
-        if B0 % P == 0 and P * n * cdim_total * 4 <= 8 * 1024 * 1024:
-            break
+    P = _pack_patches(B0, N0, cdim_total)
     if P > 1:
         B, n = B0 // P, P * N0
         fz = fz.reshape(B, n, C, r)
@@ -398,5 +496,84 @@ def flow_g_pallas(flow_blocks, fz: jax.Array, cs,
     )(z_cm.astype(jnp.float32), *cs_in, *weights)
 
     # back to point-major rows: [B, C, m] -> [B, r, n, C] -> [B0, N0*r, C]
+    x_sm = jnp.swapaxes(out, 1, 2).reshape(B, r, n, C)
+    return jnp.transpose(x_sm, (0, 2, 1, 3)).reshape(B0, N0 * r, C)
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
+def flow_g_blend_pallas(flow_blocks, z_cm: jax.Array, ws: jax.Array,
+                        knn_idx: jax.Array, cs, interpret: bool = False):
+    """Latent interpolation + inverse flow, fused.
+
+    z_cm: [B/P, C, P*N] latents in the f kernel's P-packed channel-major
+    layout (straight from ``flow_f_pallas(emit_cm=True)`` — both sides
+    compute P with `_pack_patches`, so the handoff is relayout-free);
+    ws: [B, r, k*N] softmaxed interpolation weights channel-major (from
+    ``encoder_conditions_pallas(interp_params=...)``); knn_idx: [B, N, k]
+    K=8 graph; cs: un-repeated [B, N, cdim] conditions (forward order).
+    Returns [B, N*r, C] point-major — matches
+    ``flow_g_pallas(flow_blocks, interp_latents_pallas(...), cs)`` to
+    softmax-ULP with one kernel launch and no HBM round-trip of the
+    interpolated latents (reference `InterpolationModule.forward` + `g`,
+    `modules/discrete/interpflow.py:173-186,315-321`)."""
+    B0 = ws.shape[0]
+    r = ws.shape[1]
+    C = z_cm.shape[1]
+    N0 = knn_idx.shape[1]
+    k_interp = knn_idx.shape[-1]
+    assert (k_interp * N0) % 128 == 0, "wide idx layout needs k*N % 128 == 0"
+    num_blocks = len(flow_blocks)
+    weights, splits = _g_weights(flow_blocks)
+
+    # P patches fuse into one grid program; the per-patch blend prologue
+    # loops over them, the flow body runs lane-packed
+    cdim_total = sum(c.shape[-1] for c in cs)
+    P = _pack_patches(B0, N0, cdim_total)
+    B, n = B0 // P, P * N0
+    m = n * r
+    assert z_cm.shape == (B, C, n), (z_cm.shape, (B, C, n))
+
+    # wide idx: flat slot-major row ks*N0 + p lives at (row, lane) =
+    # divmod(ks*N0 + p, 128) — dodges the 4-byte-row DMA of a [k*n, 1]
+    # block (measured ~1.7 us/patch)
+    W = k_interp * N0 // 128
+    idx_w = jnp.swapaxes(knn_idx.astype(jnp.int32), 1, 2).reshape(B0, W, 128)
+
+    cs_p = [c.reshape(B, n, c.shape[-1]) for c in cs]
+    cs_in = [jnp.swapaxes(c, 1, 2) for c in reversed(cs_p)]  # [B, cdim, n]
+
+    kernel = functools.partial(_flow_g_blend_kernel, num_blocks=num_blocks,
+                               splits=splits, r=r, k_interp=k_interp,
+                               n0=N0, P=P, interp=interpret)
+    cs_specs = [
+        pl.BlockSpec((1, c.shape[1], n), lambda bb: (bb, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for c in cs_in
+    ]
+    w_specs = [
+        pl.BlockSpec(w.shape, (lambda bb, nd=w.ndim: (0,) * nd),
+                     memory_space=pltpu.VMEM)
+        for w in weights
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, C, n), lambda bb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, W, 128), lambda bb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, r, k_interp * N0), lambda bb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + cs_specs + w_specs,
+        out_specs=pl.BlockSpec((1, C, m), lambda bb: (bb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, C, m), jnp.float32),
+        interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(z_cm.astype(jnp.float32), idx_w, ws.astype(jnp.float32), *cs_in,
+      *weights)
+
+    # point-major rows, exactly like flow_g_pallas
     x_sm = jnp.swapaxes(out, 1, 2).reshape(B, r, n, C)
     return jnp.transpose(x_sm, (0, 2, 1, 3)).reshape(B0, N0 * r, C)

@@ -228,6 +228,44 @@ def test_flow_f_kernel_matches_xla(folded):
                                atol=2e-3)
 
 
+def test_flow_g_blend_matches_composition(folded):
+    """The blend-fused inverse flow (interp weights + neighbour-latent
+    blend in the g kernel's prologue, z handed over in f's packed
+    channel-major layout) matches the 4-kernel composition
+    encoder -> f -> interp_latents -> g to softmax ULP."""
+    from puflow_tpu.ops.knn import knn_indices
+    from puflow_tpu.ops.pallas.encoder_pallas import (
+        encoder_conditions_pallas,
+        interp_latents_pallas,
+        interp_weights_cm_pallas,
+    )
+    from puflow_tpu.ops.pallas.flow_pallas import (
+        flow_f_pallas,
+        flow_g_blend_pallas,
+        flow_g_pallas,
+    )
+
+    params, _ = folded
+    B, n, r = 2, 64, 4  # 8*64 = 512 rows: divisible by 128 (wide idx)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, n, 3)) * 0.3
+    idx16 = knn_indices(x, x, 16)
+    idx8 = idx16[..., :8]
+
+    cs = encoder_conditions_pallas(params, x, idx16, True)
+    z = flow_f_pallas(params["flow_blocks"], x, cs, True)
+    fz = interp_latents_pallas(params["interp"], x, idx8,
+                               z.astype(jnp.float32), r, True)
+    out_ref = flow_g_pallas(params["flow_blocks"],
+                            fz.reshape(B, n, 3, r), cs, True)
+
+    ws = interp_weights_cm_pallas(params["interp"], x, idx8, r, True)
+    z_cm = flow_f_pallas(params["flow_blocks"], x, cs, True, True)
+    out = flow_g_blend_pallas(params["flow_blocks"], z_cm, ws, idx8, cs,
+                              True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               atol=1e-5)
+
+
 def test_flow_f_gate_and_fallback():
     from puflow_tpu.models.discrete import (FLOW_F_FUSED_MAX_N,
                                             use_fused_flow_f)
