@@ -198,7 +198,9 @@ def _encoder_kernel(xyz_ref, idx_ref, *refs, n: int, k: int,
             # (2*n*C + 3*C*Gt MAC-passes vs 2*n*Gt) looked cheaper on paper
             # for the low-C blocks but measured SLOWER (the 3-pass
             # projection's hi/lo splits of the big [k*n, C] activation are
-            # VPU-bound); project-then-gather stays.
+            # VPU-bound; and with the MXU's 128-lane output padding the
+            # raw gather's 3-wide product costs a full lane tile anyway);
+            # project-then-gather stays.
             p_nbr = _onehot_dot(onehot, _f32_dot(x, w_nbr),
                                 passes=gather_passes)      # [k*n, Gt]
         # fold the self term in with ONE slot-broadcast add (slot-major
@@ -405,12 +407,13 @@ def _interp_logits_body(x, onehot, take, n: int, k: int, growths,
     de_out = dot(h, take()) + take().astype(dt)            # de lin2+b [.,128]
 
     # --- context EdgeConv (no pooling), slope 0.05 ----------------------
+    # gather(x) @ w_nbr == gather(x @ w_nbr) exactly (one-hot row
+    # selection), and `nei` above IS gather(x) — projecting it directly
+    # replaces the [k*n, n] @ [n, Gt] gather matmul (268 MFLOP/patch, 45%
+    # of the head's FLOPs) with a [k*n, 3] @ [3, Gt] projection.
     w_self, w_nbr = take(), take()
     p_self = dot(x, w_self)                                # [n, Gt]
-    if fast:
-        p_nbr = _bf16_dot(onehot, dot(x, w_nbr, jnp.bfloat16), dt)
-    else:
-        p_nbr = _onehot_dot(onehot, _f32_dot(x, w_nbr))    # [k*n, Gt]
+    p_nbr = dot(nei, w_nbr)                                # [k*n, Gt]
     gt = p_nbr.shape[1]
     p = (p_nbr.reshape(k, n, gt) + p_self[None]).reshape(k * n, gt)
     offset = 0
