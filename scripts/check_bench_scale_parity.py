@@ -82,7 +82,9 @@ def main():
 
     print(f"reference true-surface err: {serr(ref_out):.4e}")
     for label, groups in (("auto (G=4 at this scale)", 0),
-                          ("exact seeded (G=1)", 1)):
+                          ("exact seeded (G=1)", 1),
+                          ("G=8", 8),
+                          ("G=16", 16)):
         t0 = time.time()
         out = upsample_cloud(mp, cloud, sample_fn, npoint, 4, 256, 4.0,
                              None, True, groups)
