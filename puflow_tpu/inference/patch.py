@@ -196,16 +196,20 @@ def upsample_cloud_impl(model_params, pc: jax.Array, sample_fn, npoint: int,
         # grouped two-level selection (merge_groups strided subsets run
         # their FPS in parallel -> ~merge_groups x fewer sequential
         # steps); merge_groups=1 is the exact seeded FPS, 0 = auto:
-        # group while every subset keeps >= 2048 candidates, up to G=16.
-        # Gate evidence (scripts/check_bench_scale_parity.py, vs the
-        # EXECUTED torch reference on a 2048-pt cloud): G=1/4/8/16 -> CD
-        # 3.74/4.27/4.78/5.13e-4, true-surface error flat at 2.43-2.46e-3
-        # (reference output: 3.18e-3) — the perturbation tracks candidates
-        # PER SUBSET, and 2048/subset holds comfortably under the 1e-3
-        # gate. The 512-pt fixture lands G=4 (2048/subset, CD 8.3e-4);
-        # its G=8 (1024/subset) breached at 1.11e-3, setting the floor.
-        G = merge_groups if merge_groups > 0 else min(
-            16, max(1, pred.shape[1] // 2048))
+        # small unions (< 16384 candidates) stay EXACT, larger ones group
+        # while every subset keeps >= 2048 candidates, up to G=16.
+        # Gate evidence: at bench scale (2048-pt cloud, 32768 candidates,
+        # scripts/check_bench_scale_parity.py vs the EXECUTED torch
+        # reference) G=1/4/8/16 -> CD 3.74/4.27/4.78/5.13e-4 with the
+        # true-surface error flat at 2.43-2.46e-3 (reference's own output:
+        # 3.18e-3), and the TPU FUSED pipeline at G=16 holds the 1e-3 CD
+        # gate (scripts/check_fused_parity.py bench-scale section). Small
+        # clouds are NOT forgiving: the 512-pt fixture (8192 candidates)
+        # at G=4 breaches 1e-3 once the fused-kernel delta stacks on the
+        # grouping delta, so grouping only engages above 16384 candidates.
+        M_cand = pred.shape[1]
+        G = merge_groups if merge_groups > 0 else (
+            1 if M_cand < 16384 else min(16, M_cand // 2048))
         sel = farthest_point_sample_seeded_grouped(pred, pc_n, npoint - N,
                                                    G)
         merged = jnp.concatenate(

@@ -83,10 +83,38 @@ def main():
         return d.min(1).mean() + d.min(0).mean()
 
     fused, exact = run(False), run(True)
-    print(f"TPU fused vs reference CD: {cd(fused, ref):.3e}")
-    print(f"TPU exact vs reference CD: {cd(exact, ref):.3e}")
-    print(f"fused vs exact CD        : {cd(fused, exact):.3e}")
-    assert cd(fused, ref) < 1e-3, "fused path lost golden parity"
+    print(f"TPU fused vs reference CD: {cd(fused, ref):.3e}", flush=True)
+    print(f"TPU exact vs reference CD: {cd(exact, ref):.3e}", flush=True)
+    print(f"fused vs exact CD        : {cd(fused, exact):.3e}", flush=True)
+    small_ok = cd(fused, ref) < 1e-3
+
+    # --- bench scale: the shipped headline config (2048-pt cloud, auto
+    # merge grouping -> G=16) on the real chip vs the executed reference.
+    # The CPU-side check (scripts/check_bench_scale_parity.py) gates the
+    # XLA paths; this closes the fused-kernel delta at the SAME scale the
+    # driver benches.
+    pts2 = rng.randn(2048, 3).astype(np.float32)
+    pts2 /= np.linalg.norm(pts2, axis=1, keepdims=True)
+    with torch.no_grad():
+        ref2 = helper.upsample(net, torch.from_numpy(pts2)[None],
+                               npoint=2048 * 4 + 24, upratio=4)
+        ref2 = PatchHelper.remove_outliers(
+            ref2, torch.from_numpy(pts2)[None], 24).numpy()[0]
+
+    params, state, sample_fn = load_checkpoint(CKPT, "discrete", fold=True)
+    mp = (jax.tree.map(jnp.asarray, params), jax.tree.map(jnp.asarray, state))
+    cloud2 = jnp.asarray(pts2)[None]
+    ours2 = upsample_cloud(mp, cloud2, sample_fn, 2048 * 4 + 24, 4, 256, 4.0)
+    ours2 = np.asarray(remove_outliers(ours2, cloud2, 24))[0]
+
+    def serr(out):
+        return np.abs(1.0 - np.linalg.norm(out, axis=1)).mean()
+
+    print(f"bench-scale TPU fused vs reference CD: {cd(ours2, ref2):.3e} "
+          f"(surface err ours {serr(ours2):.3e} vs ref {serr(ref2):.3e})",
+          flush=True)
+    assert small_ok, "512-pt fused path lost golden parity"
+    assert cd(ours2, ref2) < 1e-3, "bench-scale fused path lost parity"
 
 
 if __name__ == "__main__":
