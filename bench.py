@@ -78,6 +78,52 @@ def bench_cnf():
     }))
 
 
+def bench_train():
+    """Secondary line: training throughput at the reference PU1K config
+    (batch 32, 256 -> 1024 patches, joint NLL + 50-iteration auction EMD,
+    Adam + grad clip). Printed BEFORE the headline so the driver's
+    last-JSON-line parse still records `patches_per_sec_per_chip`."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from puflow_tpu.data.synthetic import synthetic_pairs
+    from puflow_tpu.models import discrete
+    from puflow_tpu.parallel.mesh import make_mesh
+    from puflow_tpu.train.trainer import TrainConfig, Trainer
+
+    params, state = discrete.init(jax.random.PRNGKey(0))
+    trainer = Trainer(TrainConfig(), params, state,
+                      mesh=make_mesh(jax.devices()))
+    B, N = 32, 256
+    sp, de = synthetic_pairs(np.random.RandomState(0), B, N, 4)
+    sp, de = jnp.asarray(sp), jnp.asarray(de)
+
+    def step():
+        (trainer.params, trainer.bn_state, trainer.opt_state,
+         m) = trainer._train_step(trainer.params, trainer.bn_state,
+                                  trainer.opt_state, sp, de)
+        return m
+
+    for _ in range(3):
+        m = step()
+    np.asarray(m["loss"])
+    iters = 40
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(iters):
+            m = step()
+        np.asarray(m["loss"])
+        dt = min(dt, (time.time() - t0) / iters)
+    print(json.dumps({
+        "metric": "train_steps_per_sec",
+        "value": round(1.0 / dt, 2),
+        "unit": "steps/s (bs=32, 256->1024, emd50)",
+        "vs_baseline": round(1.0 / dt, 2),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -164,6 +210,10 @@ if __name__ == "__main__":
         bench_cnf()
     except Exception as e:  # secondary line must never kill the headline
         print(f"cnf bench skipped: {e}")
+    try:
+        bench_train()
+    except Exception as e:  # secondary line must never kill the headline
+        print(f"train bench skipped: {e}")
     try:
         main()
     except Exception as e:

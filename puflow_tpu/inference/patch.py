@@ -143,6 +143,17 @@ def jitter_cloud(key, pc: jax.Array, sigma: float = 0.010,
     return pc + noise
 
 
+def auto_merge_groups(n_candidates: int) -> int:
+    """Merge-FPS group count for an n-candidate union (see the gate
+    evidence in `upsample_cloud_impl`): exact below 16384 candidates,
+    else subsets of >= 2048 candidates up to G=16.
+
+    >>> auto_merge_groups(8192), auto_merge_groups(32768)
+    (1, 16)
+    """
+    return 1 if n_candidates < 16384 else min(16, n_candidates // 2048)
+
+
 def upsample_cloud_impl(model_params, pc: jax.Array, sample_fn, npoint: int,
                         upratio: int = 4, patch_size: int = 256,
                         expand_ratio: float = 4.0, merge_candidates=None,
@@ -207,9 +218,8 @@ def upsample_cloud_impl(model_params, pc: jax.Array, sample_fn, npoint: int,
         # clouds are NOT forgiving: the 512-pt fixture (8192 candidates)
         # at G=4 breaches 1e-3 once the fused-kernel delta stacks on the
         # grouping delta, so grouping only engages above 16384 candidates.
-        M_cand = pred.shape[1]
-        G = merge_groups if merge_groups > 0 else (
-            1 if M_cand < 16384 else min(16, M_cand // 2048))
+        G = (merge_groups if merge_groups > 0
+             else auto_merge_groups(pred.shape[1]))
         sel = farthest_point_sample_seeded_grouped(pred, pc_n, npoint - N,
                                                    G)
         merged = jnp.concatenate(

@@ -170,3 +170,20 @@ def test_merge_patches_approx_invariants():
         dd = ((approx[b][:, None] - exact[b][None]) ** 2).sum(-1)
         cd = dd.min(1).mean() + dd.min(0).mean()
         assert cd < 5e-4, cd
+
+
+def test_auto_merge_groups_rule():
+    """Pin the merge auto-grouping schedule: small unions stay EXACT (the
+    512-pt golden fixture's G=4 breached the fused 1e-3 gate), large
+    unions group on >= 2048-candidate subsets up to G=16 (gate evidence
+    in scripts/check_bench_scale_parity.py / check_fused_parity.py)."""
+    from puflow_tpu.inference.patch import auto_merge_groups
+
+    assert auto_merge_groups(8192) == 1       # 512-pt fixture union
+    assert auto_merge_groups(16383) == 1
+    assert auto_merge_groups(16384) == 8
+    assert auto_merge_groups(32768) == 16     # bench shape union
+    assert auto_merge_groups(79872) == 16     # PU-GAN 5000-pt cloud union
+    # grouped FPS needs candidates % G == 0 at the shapes the rule emits
+    for m in (16384, 32768, 79872):
+        assert m % auto_merge_groups(m) == 0
