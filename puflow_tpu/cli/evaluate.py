@@ -143,6 +143,8 @@ def main(argv=None):
                         for i in range(len(PERCENTAGES)):
                             row[f"uniform_{i}"] = measure[i, 0]
             writer.writerow(row)
+            f.flush()   # protocol runs take minutes/file at PU-GAN sizes;
+            # keep per-file rows visible for progress monitoring
 
         row = OrderedDict()
         row["CD"] = np.nanmean(g_cd)

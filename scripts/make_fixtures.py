@@ -194,14 +194,18 @@ def save_off(path, verts, faces):
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "fixtures"
     n_shapes = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    # protocol point counts: PU1K 2048 -> 8192 (default); pass 5000 20000
+    # for the PU-GAN protocol shapes (reference evaluation/eval_pugan.sh)
+    n_input = int(sys.argv[3]) if len(sys.argv) > 3 else 2048
+    n_gt = int(sys.argv[4]) if len(sys.argv) > 4 else 8192
     for d in ("mesh", "gt", "input"):
         os.makedirs(os.path.join(out, d), exist_ok=True)
     rng = np.random.RandomState(0)
     shapes = fixture_shapes(n_shapes)
     for name, (verts, faces) in shapes.items():
         save_off(os.path.join(out, "mesh", f"{name}.off"), verts, faces)
-        gt = sample_surface(rng, verts, faces, 8192)
-        inp = sample_surface(rng, verts, faces, 2048)
+        gt = sample_surface(rng, verts, faces, n_gt)
+        inp = sample_surface(rng, verts, faces, n_input)
         np.savetxt(os.path.join(out, "gt", f"{name}.xyz"), gt, fmt="%.6f")
         np.savetxt(os.path.join(out, "input", f"{name}.xyz"), inp,
                    fmt="%.6f")
