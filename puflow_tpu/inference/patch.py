@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from puflow_tpu.ops.chamfer import chamfer_parts
 from puflow_tpu.ops.fps import (farthest_point_sample,
-                                farthest_point_sample_seeded_grouped)
+                                farthest_point_sample_seeded_morton)
 from puflow_tpu.ops.knn import gather_points, knn_indices
 
 
@@ -146,12 +146,18 @@ def jitter_cloud(key, pc: jax.Array, sigma: float = 0.010,
 def auto_merge_groups(n_candidates: int) -> int:
     """Merge-FPS group count for an n-candidate union (see the gate
     evidence in `upsample_cloud_impl`): exact below 16384 candidates,
-    else subsets of >= 2048 candidates up to G=16.
+    else Morton cells of >= 2048 candidates up to G=16, snapped down to
+    a divisor of the candidate count (Morton chunks are equal-size).
 
     >>> auto_merge_groups(8192), auto_merge_groups(32768)
     (1, 16)
     """
-    return 1 if n_candidates < 16384 else min(16, n_candidates // 2048)
+    if n_candidates < 16384:
+        return 1
+    g = min(16, n_candidates // 2048)
+    while g > 1 and n_candidates % g:
+        g -= 1
+    return g
 
 
 def upsample_cloud_impl(model_params, pc: jax.Array, sample_fn, npoint: int,
@@ -204,24 +210,28 @@ def upsample_cloud_impl(model_params, pc: jax.Array, sample_fn, npoint: int,
         # cost). Cuts selection steps ~25% and candidates ~18% at the x4
         # defaults. Not index-identical to the reference's FPS — gated by
         # the golden pipeline-CD tests like every fast path.
-        # grouped two-level selection (merge_groups strided subsets run
-        # their FPS in parallel -> ~merge_groups x fewer sequential
-        # steps); merge_groups=1 is the exact seeded FPS, 0 = auto:
-        # small unions (< 16384 candidates) stay EXACT, larger ones group
-        # while every subset keeps >= 2048 candidates, up to G=16.
-        # Gate evidence: at bench scale (2048-pt cloud, 32768 candidates,
-        # scripts/check_bench_scale_parity.py vs the EXECUTED torch
-        # reference) G=1/4/8/16 -> CD 3.74/4.27/4.78/5.13e-4 with the
-        # true-surface error flat at 2.43-2.46e-3 (reference's own output:
-        # 3.18e-3), and the TPU FUSED pipeline at G=16 holds the 1e-3 CD
-        # gate (scripts/check_fused_parity.py bench-scale section). Small
-        # clouds are NOT forgiving: the 512-pt fixture (8192 candidates)
-        # at G=4 breaches 1e-3 once the fused-kernel delta stacks on the
-        # grouping delta, so grouping only engages above 16384 candidates.
+        # grouped two-level selection (merge_groups spatially-compact
+        # cells run their FPS in parallel -> ~merge_groups x fewer
+        # sequential steps); merge_groups=1 is the exact seeded FPS,
+        # 0 = auto: small unions (< 16384 candidates) stay EXACT, larger
+        # ones group while every subset keeps >= 2048 candidates, up to
+        # G=16. Cells are point-level Morton chunks (spatially COMPACT),
+        # NOT strided interleaves: every strided group re-covers the
+        # whole surface, so all G groups mirror the same greedy pick
+        # sequence and pile up G-fold (127-mesh TPU protocol at strided
+        # G=16: CD 1.31e-3 -> 2.01e-3, uniformity 0.04 -> 0.10, JSD
+        # 0.19 -> 0.29); disjoint compact cells recover exact-FPS
+        # uniformity (kd/Morton cells match G=1 NN-uniformity in
+        # tests/test_ops.py; protocol metrics in QUALITY.md). Patch-level
+        # cells are NOT compact enough — at G=16 a cell is smaller than
+        # one overlapping patch and seam pile-up returns. Small clouds
+        # stay exact: the 512-pt fixture (8192 candidates) breaches the
+        # 1e-3 fused gate once any grouping delta stacks on the fused
+        # -kernel delta, so grouping engages above 16384 candidates only.
         G = (merge_groups if merge_groups > 0
              else auto_merge_groups(pred.shape[1]))
-        sel = farthest_point_sample_seeded_grouped(pred, pc_n, npoint - N,
-                                                   G)
+        sel = farthest_point_sample_seeded_morton(pred, pc_n,
+                                                  npoint - N, G)
         merged = jnp.concatenate(
             [pc_n, gather_points(pred, sel)], axis=1)      # [B, npoint, 3]
     else:

@@ -184,6 +184,7 @@ def test_auto_merge_groups_rule():
     assert auto_merge_groups(16384) == 8
     assert auto_merge_groups(32768) == 16     # bench shape union
     assert auto_merge_groups(79872) == 16     # PU-GAN 5000-pt cloud union
-    # grouped FPS needs candidates % G == 0 at the shapes the rule emits
-    for m in (16384, 32768, 79872):
+    assert auto_merge_groups(20480) == 10
+    # Morton chunks need G to divide the candidate count
+    for m in (16384, 20480, 32768, 79872):
         assert m % auto_merge_groups(m) == 0

@@ -216,6 +216,113 @@ class TestFps:
             farthest_point_sample_seeded(pts[:, :159], seeds, m))
         np.testing.assert_array_equal(odd, ref)
 
+    def test_seeded_fps_partitioned(self):
+        # Spatially-partitioned grouping: valid unique indices, and the
+        # union's NN-distance uniformity must stay near the exact seeded
+        # FPS (the property strided grouping loses — the round-3d fix).
+        from puflow_tpu.ops.fps import (
+            farthest_point_sample_seeded,
+            farthest_point_sample_seeded_grouped,
+            farthest_point_sample_seeded_partitioned,
+        )
+
+        rng = np.random.RandomState(7)
+        u = rng.randn(2, 2048, 3).astype(np.float32)
+        u /= np.linalg.norm(u, axis=-1, keepdims=True)      # sphere surface
+        s = rng.randn(2, 256, 3).astype(np.float32)
+        s /= np.linalg.norm(s, axis=-1, keepdims=True)
+        pts, seeds = jnp.asarray(u), jnp.asarray(s)
+        m, G = 768, 8
+
+        part = np.asarray(
+            farthest_point_sample_seeded_partitioned(pts, seeds, m, G))
+        assert part.shape == (2, m)
+        assert part.min() >= 0 and part.max() < u.shape[1]
+        for b in range(2):
+            assert len(set(part[b])) == m, "duplicate selections"
+
+        def nn_uni(sel, b):
+            out = np.concatenate([s[b], u[b][sel]])
+            d = ((out[:, None] - out[None]) ** 2).sum(-1)
+            np.fill_diagonal(d, np.inf)
+            nn = np.sqrt(d.min(1))
+            return nn.std() / nn.mean()
+
+        exact = np.asarray(farthest_point_sample_seeded(pts, seeds, m))
+        strided = np.asarray(
+            farthest_point_sample_seeded_grouped(pts, seeds, m, G))
+        for b in range(2):
+            ue, up, us = nn_uni(exact[b], b), nn_uni(part[b], b), nn_uni(
+                strided[b], b)
+            assert up <= ue * 1.35 + 1e-7, (
+                f"cloud {b}: partitioned nn-uniformity {up} vs exact {ue}")
+            assert up < us, "partitioned should beat strided uniformity"
+
+        # non-power-of-two group counts fall back to the exact path
+        fb = np.asarray(
+            farthest_point_sample_seeded_partitioned(pts, seeds, m, 3))
+        np.testing.assert_array_equal(fb, exact)
+
+    def test_seeded_fps_morton(self):
+        # Morton-chunk grouping (the shipped merge fast path): valid
+        # unique indices; NN-distance uniformity must stay near the exact
+        # seeded FPS and beat strided grouping — same quality bar as the
+        # kd partition it replaces (at 1/log2(G) the sort cost).
+        from puflow_tpu.ops.fps import (
+            farthest_point_sample_seeded,
+            farthest_point_sample_seeded_grouped,
+            farthest_point_sample_seeded_morton,
+        )
+
+        rng = np.random.RandomState(7)
+        u = rng.randn(2, 2048, 3).astype(np.float32)
+        u /= np.linalg.norm(u, axis=-1, keepdims=True)      # sphere surface
+        s = rng.randn(2, 256, 3).astype(np.float32)
+        s /= np.linalg.norm(s, axis=-1, keepdims=True)
+        pts, seeds = jnp.asarray(u), jnp.asarray(s)
+        m = 768
+
+        def nn_uni(sel, b):
+            out = np.concatenate([s[b], u[b][sel]])
+            d = ((out[:, None] - out[None]) ** 2).sum(-1)
+            np.fill_diagonal(d, np.inf)
+            nn = np.sqrt(d.min(1))
+            return nn.std() / nn.mean()
+
+        exact = np.asarray(farthest_point_sample_seeded(pts, seeds, m))
+        for G in (8, 16):
+            mo = np.asarray(
+                farthest_point_sample_seeded_morton(pts, seeds, m, G))
+            assert mo.shape == (2, m)
+            assert mo.min() >= 0 and mo.max() < u.shape[1]
+            strided = np.asarray(
+                farthest_point_sample_seeded_grouped(pts, seeds, m, G))
+            for b in range(2):
+                assert len(set(mo[b])) == m, "duplicate selections"
+                ue, um, us = (nn_uni(exact[b], b), nn_uni(mo[b], b),
+                              nn_uni(strided[b], b))
+                assert um <= ue * 1.35 + 1e-7, (
+                    f"G={G} cloud {b}: morton nn-uniformity {um} vs "
+                    f"exact {ue}")
+                assert um < us, "morton should beat strided uniformity"
+
+        # shapes that don't divide fall back to the exact path
+        fb = np.asarray(
+            farthest_point_sample_seeded_morton(pts, seeds, m, 7))
+        np.testing.assert_array_equal(fb, exact)
+
+    def test_morton_key_duplicates_adjacent(self):
+        # duplicate coordinates share a key, so a stable sort keeps them
+        # adjacent -> same Morton cell (the property that stops double
+        # -picking across groups)
+        from puflow_tpu.ops.fps import _morton_key
+
+        rng = np.random.RandomState(3)
+        base = rng.randn(1, 512, 3).astype(np.float32)
+        dup = np.concatenate([base, base[:, :100]], axis=1)
+        keys = np.asarray(_morton_key(jnp.asarray(dup)))
+        np.testing.assert_array_equal(keys[0, :100], keys[0, 512:])
+
 
 class TestChamfer:
     def test_parts_vs_numpy(self):
