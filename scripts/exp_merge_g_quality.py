@@ -47,8 +47,20 @@ def main():
     xin = jnp.asarray(inp)
     xgt = jnp.asarray(gt)
 
+    def nn_uniformity(pred_np):
+        # std/mean of each point's NN distance — the cheap clump detector
+        # that caught the strided-grouping mirroring (QUALITY.md round-3d)
+        vals = []
+        for pc in pred_np:
+            d = (pc * pc).sum(1)[:, None] + (pc * pc).sum(1)[None, :] \
+                - 2.0 * (pc @ pc.T)
+            np.fill_diagonal(d, np.inf)
+            nn = np.sqrt(np.maximum(d.min(1), 0.0))
+            vals.append(nn.std() / nn.mean())
+        return float(np.mean(vals))
+
     print(f"{B} clouds ({n_per}/category), {N} -> {npoint - 24}")
-    for G in (1, 2, 4, 8, 16):
+    for G in (1, 2, 4, 8, 16, 32):
         t0 = time.time()
         pred = upsample_cloud(mp, xin, sample_fn, npoint, 4, 256, 4.0,
                               None, True, G)
@@ -58,11 +70,14 @@ def main():
         d_xy, d_yx, _, _ = chamfer_parts(pred, xgt)
         cd = (jnp.mean(d_xy, axis=1) + jnp.mean(d_yx, axis=1))
         hd = jnp.maximum(jnp.max(d_xy, axis=1), jnp.max(d_yx, axis=1))
-        jsd = jsd_between_point_cloud_sets(
-            np.asarray(pred) * 0.5, np.asarray(xgt) * 0.5)
+        pred_np = np.asarray(pred)
+        jsd = jsd_between_point_cloud_sets(pred_np * 0.5,
+                                           np.asarray(xgt) * 0.5)
+        uni = nn_uniformity(pred_np)
         print(f"G={G:2d}: CD {float(jnp.mean(cd)):.4e}  "
               f"HD {float(jnp.mean(hd)):.4e}  JSD {float(jsd):.4f}  "
-              f"(first-call wall {wall:.1f}s)", flush=True)
+              f"nn-uni {uni:.4f}  (first-call wall {wall:.1f}s)",
+              flush=True)
 
 
 if __name__ == "__main__":
