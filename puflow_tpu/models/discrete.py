@@ -298,8 +298,6 @@ def forward(params, state, xyz, upratio: int, train: bool = False,
     go — the most quality-sensitive stage) to a different precision than
     the condition encoder; "same" follows `dtype`.
     """
-    knn_idx = knn_indices(xyz, xyz, spec.num_neighbors)
-
     # Fused inference path: the latent interpolation BLEND runs in the
     # g kernel's prologue (channel-major one-hot gather; +0.35 ms vs the
     # 16.5 ms standalone interp_latents launch at 1024 patches) and f
@@ -321,7 +319,18 @@ def forward(params, state, xyz, upratio: int, train: bool = False,
             flow_f_pallas,
             flow_g_blend_pallas,
         )
+        from puflow_tpu.ops.pallas.knn_pallas import (
+            knn_self_pallas,
+            use_fused_knn,
+        )
 
+        if use_fused_knn(N):
+            # VMEM-resident kNN (2.1 vs 5.8 ms at 1024x256 patches); near
+            # -tie neighbour sets can differ from the XLA path (delta-form
+            # distances) — fused-path only, golden-CD gated.
+            knn_idx = knn_self_pallas(xyz, spec.num_neighbors)
+        else:
+            knn_idx = knn_indices(xyz, xyz, spec.num_neighbors)
         idx8 = knn_idx[..., :8]  # K=16 sorted -> first 8 ARE the K=8 graph
         cs = encoder_conditions_pallas(params, xyz, knn_idx)
         ws = interp_weights_cm_pallas(params["interp"], xyz, idx8, upratio)
@@ -329,6 +338,7 @@ def forward(params, state, xyz, upratio: int, train: bool = False,
         x = flow_g_blend_pallas(params["flow_blocks"], z_cm, ws, idx8, cs)
         return x, jnp.float32(jnp.nan), state
 
+    knn_idx = knn_indices(xyz, xyz, spec.num_neighbors)
     cs, feat_s = feat_extract(params, state, xyz, knn_idx, train, dtype=dtype)
     if fast_f and not train and use_fused_flow_f(xyz.shape[1]):
         # fused forward flow (inference): z only — the log-density is NOT

@@ -274,3 +274,32 @@ def test_flow_f_gate_and_fallback():
     assert use_fused_flow_f(2048, backend="tpu")
     assert not use_fused_flow_f(2049, backend="tpu")
     assert not use_fused_flow_f(256, backend="cpu")
+
+
+def test_knn_kernel_matches_xla_sets():
+    """Fused kNN kernel: ascending order, self-first, same neighbour SETS
+    as the XLA path (interpret mode; distance-rounding near-ties are
+    astronomically unlikely on random data)."""
+    from puflow_tpu.ops.knn import knn_indices
+    from puflow_tpu.ops.pallas.knn_pallas import (knn_self_pallas,
+                                                  use_fused_knn)
+
+    xyz = jax.random.normal(jax.random.PRNGKey(3), (3, 128, 3))
+    ref = np.asarray(knn_indices(xyz, xyz, 16))
+    got = np.asarray(knn_self_pallas(xyz, 16, True))
+    assert got.shape == ref.shape
+    # slot 0 is the point itself
+    assert (got[:, :, 0] == np.arange(128)[None]).all()
+    # ascending distances
+    d = np.asarray(jnp.sum((xyz[:, :, None] - xyz[:, None]) ** 2, -1))
+    dd = np.take_along_axis(d.reshape(-1, 128), got.reshape(-1, 16), axis=1)
+    assert (np.diff(dd, axis=1) >= -1e-12).all()
+    # same sets at both consumer prefixes (k=8 interp graph, k=16 encoder)
+    for kk in (8, 16):
+        assert all(set(ref[b, i, :kk]) == set(got[b, i, :kk])
+                   for b in range(3) for i in range(128))
+    # dispatch gate: TPU only, n multiple of 128 within VMEM envelope
+    assert use_fused_knn(256, backend="tpu")
+    assert not use_fused_knn(100, backend="tpu")
+    assert not use_fused_knn(2048, backend="tpu")
+    assert not use_fused_knn(256, backend="cpu")
