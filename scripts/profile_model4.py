@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 import puflow_tpu  # noqa: F401
 from puflow_tpu.checkpoint import load_checkpoint
-from puflow_tpu.ops.knn import knn_indices
+from puflow_tpu.ops.pallas.knn_pallas import knn_self_pallas
 from puflow_tpu.ops.pallas.encoder_pallas import (
     encoder_conditions_pallas,
     interp_weights_cm_pallas,
@@ -43,28 +43,28 @@ def main():
     pts = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
 
     def upto_knn(x):
-        return jnp.sum(knn_indices(x, x, 16))
+        return jnp.sum(knn_self_pallas(x, 16))
 
     def upto_enc(x):
-        idx = knn_indices(x, x, 16)
+        idx = knn_self_pallas(x, 16)
         cs = encoder_conditions_pallas(params, x, idx)
         return sum(jnp.sum(c) for c in cs)
 
     def upto_w(x):
-        idx = knn_indices(x, x, 16)
+        idx = knn_self_pallas(x, 16)
         cs = encoder_conditions_pallas(params, x, idx)
         ws = interp_weights_cm_pallas(params["interp"], x, idx[..., :8], R)
         return sum(jnp.sum(c) for c in cs) + jnp.sum(ws)
 
     def upto_f(x):
-        idx = knn_indices(x, x, 16)
+        idx = knn_self_pallas(x, 16)
         cs = encoder_conditions_pallas(params, x, idx)
         ws = interp_weights_cm_pallas(params["interp"], x, idx[..., :8], R)
         z = flow_f_pallas(params["flow_blocks"], x, cs, emit_cm=True)
         return jnp.sum(z) + jnp.sum(ws)
 
     def upto_g(x):
-        idx = knn_indices(x, x, 16)
+        idx = knn_self_pallas(x, 16)
         cs = encoder_conditions_pallas(params, x, idx)
         idx8 = idx[..., :8]
         ws = interp_weights_cm_pallas(params["interp"], x, idx8, R)
@@ -75,7 +75,7 @@ def main():
     stages = [("knn", upto_knn), ("+encoder", upto_enc), ("+weights", upto_w),
               ("+f", upto_f), ("+g_blend", upto_g)]
     prev = 0.0
-    print(f"M={M} patches (shipped round-3b fused path)")
+    print(f"M={M} patches (shipped round-3e fused path)")
     for name, fn in stages:
         jf = jax.jit(fn)
         jf(pts)

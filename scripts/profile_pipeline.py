@@ -47,13 +47,16 @@ def main():
     pred_full = (pred * furth + cent).reshape(B, -1, 3)
     print("candidates shape:", pred_full.shape)
 
-    from puflow_tpu.ops.fps import farthest_point_sample_seeded_grouped
+    from puflow_tpu.inference.patch import auto_merge_groups
+    from puflow_tpu.ops.fps import farthest_point_sample_seeded_morton
     from puflow_tpu.ops.knn import gather_points
+
+    G = auto_merge_groups(B * n_patch * k * R)
 
     @jax.jit
     def merge(cand, orig):
-        # shipped default: grouped seeded FPS (G=4)
-        sel = farthest_point_sample_seeded_grouped(cand, orig, npoint - N, 4)
+        # shipped default: Morton-cell grouped seeded FPS (auto G)
+        sel = farthest_point_sample_seeded_morton(cand, orig, npoint - N, G)
         return jnp.concatenate([orig, gather_points(cand, sel)], axis=1)
 
     merge(pred_full, pc_n)
