@@ -312,10 +312,11 @@ def forward(params, state, xyz, upratio: int, train: bool = False,
             and use_fused_encoder(N, spec.num_neighbors)
             and use_fused_flow_f(N) and use_fused_flow_g(N, upratio)):
         from puflow_tpu.ops.pallas.encoder_pallas import (
-            encoder_conditions_pallas,
+            encoder_conditions_pallas_cm,
             interp_weights_cm_pallas,
         )
         from puflow_tpu.ops.pallas.flow_pallas import (
+            _pack_patches,
             flow_f_pallas,
             flow_g_blend_pallas,
         )
@@ -332,10 +333,19 @@ def forward(params, state, xyz, upratio: int, train: bool = False,
         else:
             knn_idx = knn_indices(xyz, xyz, spec.num_neighbors)
         idx8 = knn_idx[..., :8]  # K=16 sorted -> first 8 ARE the K=8 graph
-        cs = encoder_conditions_pallas(params, xyz, knn_idx)
+        # transposed encoder (round 4): emits conditions directly in the
+        # flow kernels' P-packed channel-major layout — 2.0x the row-major
+        # kernel (26.2 vs 52.7 ms/1024 patches) and no XLA relayout of
+        # the ~637 MB of conditions (scripts/exp_encoder_cm.py)
+        cdim_total = sum(mp["conv2"]["w"].shape[1]
+                         for mp in params["merge_convs"])
+        P = _pack_patches(xyz.shape[0], N, cdim_total)
+        cs = encoder_conditions_pallas_cm(params, xyz, knn_idx, P)
         ws = interp_weights_cm_pallas(params["interp"], xyz, idx8, upratio)
-        z_cm = flow_f_pallas(params["flow_blocks"], xyz, cs, emit_cm=True)
-        x = flow_g_blend_pallas(params["flow_blocks"], z_cm, ws, idx8, cs)
+        z_cm = flow_f_pallas(params["flow_blocks"], xyz, cs, emit_cm=True,
+                             cs_cm=True)
+        x = flow_g_blend_pallas(params["flow_blocks"], z_cm, ws, idx8, cs,
+                                cs_cm=True)
         return x, jnp.float32(jnp.nan), state
 
     knn_idx = knn_indices(xyz, xyz, spec.num_neighbors)

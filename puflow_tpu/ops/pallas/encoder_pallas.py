@@ -259,6 +259,206 @@ def _encoder_kernel(xyz_ref, idx_ref, *refs, n: int, k: int,
         x = f
 
 
+# ---------------------------------------------------------------------------
+# Channel-major (transposed) encoder kernel — round-4 reformulation.
+#
+# The row-major kernel above puts the k*n point-slot pairs on SUBLANES and
+# features on LANES, so every <=32-wide growth-layer matmul pads its output
+# to a full 128-lane MXU tile: [4096, P] @ [P, 32] costs the same tile
+# passes as [4096, 128] @ [128, 128] (measured 0.54 ms/op across the 1024
+# -patch batch, scripts/exp_transposed_enc2.py). Transposing the whole
+# block — features on sublanes, point-slot pairs on lanes — makes the same
+# layer [32, P] @ [P, 4096]: the 32-wide output lands on STREAMED MXU rows
+# (no 128 padding) and the 4096 pairs fill output lanes exactly. Measured
+# slope: ~0.17 ms/op upper bound (hidden entirely under the input DMA in
+# the microbenchmark). Padded-tile accounting for the full encoder:
+# 185k row-passes/patch row-major -> 118k transposed (-36%); block 0's
+# gather also halves ([64, 256] @ [256, 4096] streams 64 rows vs 4096).
+#
+# The neighbour gather stays a one-hot MXU matmul — from the RIGHT:
+# g^T = proj^T [W, n] @ onehot^T [n, k*n]. Native lane/sublane dynamic
+# gathers do not lower in Mosaic on this jax (take_along_axis asserts;
+# scripts/exp_transposed_enc2.py).
+#
+# A further win is layout fusion: the flow kernels consume conditions
+# CHANNEL-major ([cdim, n], P patches packed on lanes) and previously paid
+# XLA transposes of ~637 MB of conditions per 1024-patch batch; this
+# kernel emits that layout directly (`pack` = flow's `_pack_patches` P).
+# ---------------------------------------------------------------------------
+def _encoder_kernel_cm(xyzT_ref, idx_ref, *refs, n: int, k: int,
+                       growths, odims, precision=None):
+    """Transposed condition-encoder kernel: features on sublanes,
+    point-slot pairs on lanes (column r = s*n + p, slot-major)."""
+    num_blocks = len(odims)
+    if precision is None:
+        precision = ((2, 3),) * num_blocks
+    weight_refs = refs[:-num_blocks]
+    out_refs = refs[-num_blocks:]
+
+    idx_row = idx_ref[0]                                   # [1, k*n]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n * k), 0)
+    onehotT = (rows == idx_row).astype(jnp.bfloat16)       # [n, k*n]
+
+    xT = xyzT_ref[0]                                       # [C_b, n]
+    wi = 0
+
+    def take():
+        nonlocal wi
+        r = weight_refs[wi][...]
+        wi += 1
+        return r
+
+    for b in range(num_blocks):
+        gather_passes, mac_passes = precision[b]
+        fast = gather_passes == 1 and mac_passes == 1 and FAST_ELEMENTWISE
+        dt = jnp.bfloat16 if fast else jnp.float32
+        n_layers = len(growths[b])
+        w_selfT = take()                                   # [Gt, C]
+        w_nbrT = take()                                    # [Gt, C]
+
+        if fast:
+            xb = xT.astype(jnp.bfloat16)
+            p_selfT = _bf16_dot(w_selfT.astype(jnp.bfloat16), xb, dt)
+            projT = _bf16_dot(w_nbrT.astype(jnp.bfloat16), xb,
+                              jnp.bfloat16)
+            p_nbrT = _bf16_dot(projT, onehotT, dt)         # [Gt, k*n]
+        else:
+            p_selfT = _f32_dot(w_selfT, xT)                # [Gt, n]
+            projT = _f32_dot(w_nbrT, xT)                   # [Gt, n]
+            # one-hot gather from the right: columns of onehotT select
+            # neighbour points; exact hi/lo split of the VALUES as in the
+            # row-major kernel (the one-hot factor is bf16-exact)
+            if gather_passes == 1:
+                p_nbrT = _bf16_dot(projT.astype(jnp.bfloat16), onehotT)
+            else:
+                p_hi, p_lo = _split_hi_lo(projT)
+                p_nbrT = (_bf16_dot(p_hi, onehotT)
+                          + _bf16_dot(p_lo, onehotT))
+        # fold the self term in: slot-major columns tile as whole-array
+        # lane repeats ([Gt, n] -> [Gt, k*n])
+        p = p_nbrT + pltpu.repeat(p_selfT.astype(p_nbrT.dtype), k, 1)
+
+        offset = 0
+        hc_hi = hc_lo = None                               # [P_j, k*n] bf16
+
+        def hc_dot(wT, mac_passes=mac_passes, out_dtype=dt):
+            # wT: [G_j, P_j] transposed layer weight
+            if mac_passes == 1:
+                return _bf16_dot(wT.astype(jnp.bfloat16), hc_hi, out_dtype)
+            w_hi, w_lo = _split_hi_lo(wT)
+            return (_bf16_dot(w_hi, hc_hi) + _bf16_dot(w_lo, hc_hi)
+                    + _bf16_dot(w_hi, hc_lo))
+
+        for j in range(n_layers):
+            g = growths[b][j]
+            h = p[offset:offset + g, :] + take().astype(dt)  # bias [G_j, 1]
+            if j > 0:
+                h = h + hc_dot(take())                     # [G_j, P_j]
+            h = _leaky(h)
+            if mac_passes == 1:
+                h_hi = h.astype(jnp.bfloat16)
+                h_lo = None
+            else:
+                h_hi, h_lo = _split_hi_lo(h)
+            if hc_hi is None:
+                hc_hi, hc_lo = h_hi, h_lo
+            else:
+                hc_hi = jnp.concatenate([hc_hi, h_hi], axis=0)
+                if h_lo is not None:
+                    hc_lo = jnp.concatenate([hc_lo, h_lo], axis=0)
+            offset += g
+
+        f = p[offset:, :] + take().astype(dt)              # out bias [odim,1]
+        f = f + hc_dot(take())                             # conv_out h part
+        # K-pool over slot-major column groups ([odim, k*n] -> [odim, n])
+        fp = f[:, :n]
+        for s in range(1, k):
+            fp = jnp.maximum(fp, f[:, s * n:(s + 1) * n])
+
+        wm1T, bm1, wm2T = take(), take(), take()
+        if fast:
+            m = jnp.maximum(
+                _bf16_dot(wm1T.astype(jnp.bfloat16), fp, dt)
+                + bm1.astype(dt), 0)
+            out_refs[b][0] = _bf16_dot(wm2T.astype(jnp.bfloat16), m,
+                                       jnp.float32)        # [cdim, n]
+        else:
+            m = jnp.maximum(_f32_dot(wm1T, fp) + bm1, 0.0)
+            out_refs[b][0] = _f32_dot(wm2T, m)             # [cdim, n]
+
+        xT = fp
+
+
+def _block_weights_cm(params):
+    """Folded per-block params -> transposed weight arrays in kernel
+    order (every matrix transposed, biases as [G, 1] columns)."""
+    flat, meta = _block_weights(params)
+    out = []
+    for w in flat:
+        if w.ndim == 2 and w.shape[0] == 1:                # bias row
+            out.append(w.T)                                # [G, 1]
+        else:
+            out.append(w.T)
+    return out, meta
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def encoder_conditions_pallas_cm(params, xyz: jax.Array, knn_idx: jax.Array,
+                                 pack: int = 1, interpret: bool = False,
+                                 precision=None):
+    """Fused condition encoder, CHANNEL-major outputs: xyz [B, n, 3],
+    idx [B, n, k] -> list of [B // pack, cdim_i, pack * n] condition
+    tensors in the flow kernels' P-packed lane layout (patch i of a pack
+    at lanes i*n..(i+1)*n). ``pack=1`` gives plain [B, cdim_i, n].
+    `params` must be BN-folded; `precision` as in
+    `encoder_conditions_pallas`."""
+    B, n, _ = xyz.shape
+    k = knn_idx.shape[-1]
+    assert B % pack == 0, (B, pack)
+    weights, (growths, odims, cdims) = _block_weights_cm(params)
+
+    if precision is None:
+        precision = ENCODER_PRECISION
+    kernel = functools.partial(_encoder_kernel_cm, n=n, k=k,
+                               growths=growths, odims=odims,
+                               precision=precision)
+    num_blocks = len(odims)
+    idx_sm = jnp.swapaxes(knn_idx.astype(jnp.int32), 1, 2).reshape(
+        B, 1, k * n)
+    xyzT = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)     # [B, 3, n]
+
+    w_specs = [
+        pl.BlockSpec(w.shape, (lambda bb, nd=w.ndim: (0,) * nd),
+                     memory_space=pltpu.VMEM)
+        for w in weights
+    ]
+    out_specs = tuple(
+        pl.BlockSpec((1, cdims[i], n),
+                     (lambda bb, p=pack: (bb // p, 0, bb % p)),
+                     memory_space=pltpu.VMEM)
+        for i in range(num_blocks)
+    )
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((B // pack, cdims[i], pack * n), jnp.float32)
+        for i in range(num_blocks)
+    )
+    cs = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 3, n), lambda bb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k * n), lambda bb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + w_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(xyzT, idx_sm, *weights)
+    return list(cs)
+
+
 def _block_weights(params):
     """Folded per-block params -> flat weight arrays in kernel order."""
     out = []
@@ -355,16 +555,18 @@ def interp_weights_cm_pallas(interp_params, xyz: jax.Array,
                              interpret: bool = False):
     """Softmaxed interpolation weights, CHANNEL-major: the layout
     `flow_g_blend_pallas` consumes (``[B, upratio, k*n]``, column
-    ks*n + p). Logits come from the fused weight-head kernel; the softmax
-    over neighbour slots + relayout run in XLA (in-kernel Mosaic
-    transposes of the [n, r] slices measured ~12 ms/1024 patches; XLA
-    does this tail in well under 1 ms)."""
-    B, n, _ = xyz.shape
-    k = knn_idx.shape[-1]
-    logits = interp_logits_pallas(interp_params, xyz, knn_idx, interpret)
-    # [B, n, k, r_max] -> softmax over the k slots -> [B, r, k*n]
-    w = jax.nn.softmax(logits[..., :upratio].astype(jnp.float32), axis=2)
-    return jnp.transpose(w, (0, 3, 2, 1)).reshape(B, upratio, k * n)
+    ks*n + p).
+
+    Round 4: computed by the TRANSPOSED head kernel (features on
+    sublanes, point-slot pairs on lanes — same reformulation as
+    `_encoder_kernel_cm`; the 16-wide FEU growth layers stream 16 MXU
+    rows instead of padding a 128-lane output tile) with the slot
+    softmax fused in-kernel, so the [B, r, k*n] weights leave the kernel
+    ready for the g kernel. Row-major variant + XLA softmax tail:
+    `interp_logits_pallas` (kept for the interp_latents fallback path
+    and bit-parity tests)."""
+    return interp_weights_cm_pallas_t(interp_params, xyz, knn_idx, upratio,
+                                      interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -573,6 +775,154 @@ def interp_logits_pallas(interp_params, xyz: jax.Array, knn_idx: jax.Array,
     )(xyz.astype(jnp.float32), idx_sm, *weights)
     # slot-major [B, k*n, R] -> [B, n, k, R]
     return jnp.swapaxes(out.reshape(B, k, n, r_max), 1, 2)
+
+
+# ---------------------------------------------------------------------------
+# Transposed interpolation-weight head (round 4): the same feature-major
+# reformulation as `_encoder_kernel_cm` applied to the weight head, with
+# the slot softmax fused. Padded-tile accounting: ~20.5k row-passes/patch
+# vs ~33k row-major, and the raw-coordinate gather streams 3 MXU rows
+# instead of 2048 ([3, n] @ [n, k*n] vs [k*n, n] @ [n, 128-padded]).
+# ---------------------------------------------------------------------------
+def _interp_cm_kernel(xyzT_ref, idx_ref, *refs, n: int, k: int, growths,
+                      r: int, fast: bool = False):
+    weight_refs = refs[:-1]
+    out_ref = refs[-1]
+    idx_row = idx_ref[0]                                   # [1, k*n]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n * k), 0)
+    onehotT = (rows == idx_row).astype(jnp.bfloat16)       # [n, k*n]
+    xT = xyzT_ref[0]                                       # [3, n]
+    wi = 0
+
+    def take():
+        nonlocal wi
+        w = weight_refs[wi][...]
+        wi += 1
+        return w
+
+    dt = jnp.bfloat16 if fast else jnp.float32
+
+    def dot(a, b, out_dtype=None):
+        if fast:
+            return _bf16_dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                             out_dtype or dt)
+        return _f32_dot(a, b)
+
+    # --- distance features (f32 like the row-major kernel) ---------------
+    x_hi, x_lo = _split_hi_lo(xT)
+    neiT = _bf16_dot(x_hi, onehotT) + _bf16_dot(x_lo, onehotT)  # [3, k*n]
+    ptT = pltpu.repeat(xT, k, 1)                           # [3, k*n]
+    vecT = ptT - neiT
+    distT = jnp.sqrt(jnp.sum(vecT * vecT, axis=0, keepdims=True))
+
+    # de lin0 decomposed over the f10 = [pt, nei, vec, dist] blocks (a
+    # 10-row sublane concat is misaligned; four small products are not)
+    w_pt, w_nei, w_vec, w_d, b0 = (take() for _ in range(5))
+    h = (dot(w_pt, ptT) + dot(w_nei, neiT) + dot(w_vec, vecT)
+         + w_d.astype(dt) * distT.astype(dt) + b0.astype(dt))
+    h = _leaky01(h)
+    h = _leaky01(dot(take(), h) + take().astype(dt))       # de lin1
+    de_out = dot(take(), h) + take().astype(dt)            # [128, k*n]
+
+    # --- context EdgeConv (no pooling), slope 0.05 ----------------------
+    # project the already-gathered raw neighbours (gather commutes with
+    # the projection — same algebra as the row-major round-3c form)
+    w_selfT, w_nbrT = take(), take()
+    p_selfT = dot(w_selfT, xT)                             # [Gt, n]
+    p_nbrT = dot(w_nbrT, neiT.astype(dt))                  # [Gt, k*n]
+    p = p_nbrT + pltpu.repeat(p_selfT, k, 1)
+    offset = 0
+    h_cat = None
+    for j in range(len(growths)):
+        g = growths[j]
+        hh = p[offset:offset + g, :] + take().astype(dt)
+        if j > 0:
+            hh = hh + dot(take(), h_cat)
+        hh = _leaky(hh)
+        h_cat = hh if h_cat is None else jnp.concatenate([h_cat, hh],
+                                                         axis=0)
+        offset += g
+    feu = p[offset:, :] + take().astype(dt)
+    feu = feu + dot(take(), h_cat)                         # [odim, k*n]
+
+    ctx = jnp.concatenate([de_out, feu], axis=0)           # [256, k*n]
+
+    # --- weight-estimation MLP, slope 0.01 ------------------------------
+    h = _leaky01(dot(take(), ctx) + take().astype(dt))
+    h = _leaky01(dot(take(), h) + take().astype(dt))
+    logits = (dot(take(), h, jnp.float32)
+              + take().astype(jnp.float32))[:r]            # [r, k*n]
+
+    # --- softmax over the k neighbour slots (static column groups) ------
+    sl = [logits[:, s * n:(s + 1) * n] for s in range(k)]
+    mx = sl[0]
+    for s in range(1, k):
+        mx = jnp.maximum(mx, sl[s])
+    es = [jnp.exp(v - mx) for v in sl]
+    denom = es[0]
+    for s in range(1, k):
+        denom = denom + es[s]
+    out_ref[0] = jnp.concatenate([e / denom for e in es], axis=1)
+
+
+def _interp_weights_cm_t_weights(interp_params):
+    """Transposed weight list for `_interp_cm_kernel` (matrices
+    transposed, biases as columns, de lin0 split over the f10 blocks)."""
+    kc = interp_params["knn_context"]
+    de = kc["distance_encoder"]
+    w0, b0 = de["lin0"]["w"], de["lin0"]["b"]
+    weights = [w0[0:3].T, w0[3:6].T, w0[6:9].T, w0[9:10].T, b0[:, None]]
+    weights += [de["lin1"]["w"].T, de["lin1"]["b"][:, None],
+                de["lin2"]["w"].T, de["lin2"]["b"][:, None]]
+    feu_w, growths, _ = _feu_weights(kc["feat_conv"])
+    for w in feu_w:
+        weights.append(w.T)
+    wu = interp_params["weight_unit"]
+    weights += [wu["lin0"]["w"].T, wu["lin0"]["b"][:, None],
+                wu["lin1"]["w"].T, wu["lin1"]["b"][:, None],
+                wu["lin2"]["w"].T, wu["lin2"]["b"][:, None]]
+    return weights, growths
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def interp_weights_cm_pallas_t(interp_params, xyz: jax.Array,
+                               knn_idx: jax.Array, upratio: int,
+                               interpret: bool = False, fast=None):
+    """Transposed fused weight head + in-kernel slot softmax:
+    xyz [B, n, 3], idx [B, n, k] -> softmaxed weights [B, upratio, k*n]
+    (channel-major, column ks*n + p — `flow_g_blend_pallas`'s layout).
+    `interp_params` must be BN-folded."""
+    B, n, _ = xyz.shape
+    k = knn_idx.shape[-1]
+    weights, growths = _interp_weights_cm_t_weights(interp_params)
+
+    idx_sm = jnp.swapaxes(knn_idx.astype(jnp.int32), 1, 2).reshape(
+        B, 1, k * n)
+    xyzT = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)     # [B, 3, n]
+    kernel = functools.partial(
+        _interp_cm_kernel, n=n, k=k, growths=growths, r=upratio,
+        fast=INTERP_FAST if fast is None else fast)
+    w_specs = [
+        pl.BlockSpec(w.shape, (lambda bb, nd=w.ndim: (0,) * nd),
+                     memory_space=pltpu.VMEM)
+        for w in weights
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 3, n), lambda bb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k * n), lambda bb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + w_specs,
+        out_specs=pl.BlockSpec((1, upratio, k * n), lambda bb: (bb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, upratio, k * n), jnp.float32),
+        interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(xyzT, idx_sm, *weights)
+    return out
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6))

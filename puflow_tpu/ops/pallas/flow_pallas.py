@@ -390,30 +390,41 @@ def _pack_patches(B0: int, N0: int, cdim_total: int) -> int:
     return 1
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
 def flow_f_pallas(flow_blocks, x: jax.Array, cs,
-                  interpret: bool = False, emit_cm: bool = False):
+                  interpret: bool = False, emit_cm: bool = False,
+                  cs_cm: bool = False):
     """Forward flow: points [B, N, C] + per-block conditions
     [B, N, cdim] -> latents [B, N, C], as one Pallas kernel (inference
     only — no logdet, no VJP). ``emit_cm=True`` returns the latents
     CHANNEL-major in the kernel's P-packed lane layout
     ([B/P, C, P*N]; patch i at lanes i*N..) — the exact block layout
-    `flow_g_blend_pallas` consumes, so the handoff is relayout-free."""
+    `flow_g_blend_pallas` consumes, so the handoff is relayout-free.
+    ``cs_cm=True`` takes the conditions already P-packed channel-major
+    ([B/P, cdim, P*N], straight from
+    ``encoder_conditions_pallas_cm(pack=P)``) — no relayout at all."""
     B0, N0, C = x.shape
     num_blocks = len(flow_blocks)
     weights, splits = _f_weights(flow_blocks)
 
     # P patches fuse into one grid program; conditions bound VMEM
     B, n = B0, N0
-    cdim_total = sum(c.shape[-1] for c in cs)
-    P = _pack_patches(B0, N0, cdim_total)
-    if P > 1:
-        B, n = B0 // P, P * N0
+    if cs_cm:
+        B, n = cs[0].shape[0], cs[0].shape[2]
+        P = n // N0
+        assert B * P == B0, (cs[0].shape, x.shape)
         x = x.reshape(B, n, C)
-        cs = [c.reshape(B, n, c.shape[-1]) for c in cs]
+        cs_in = list(cs)                                   # [B, cdim, n]
+    else:
+        cdim_total = sum(c.shape[-1] for c in cs)
+        P = _pack_patches(B0, N0, cdim_total)
+        if P > 1:
+            B, n = B0 // P, P * N0
+            x = x.reshape(B, n, C)
+            cs = [c.reshape(B, n, c.shape[-1]) for c in cs]
+        cs_in = [jnp.swapaxes(c, 1, 2) for c in cs]        # [B, cdim, n]
 
     x_cm = jnp.swapaxes(x, 1, 2)                           # [B, C, n]
-    cs_in = [jnp.swapaxes(c, 1, 2) for c in cs]            # [B, cdim, n]
 
     kernel = functools.partial(_flow_f_kernel, num_blocks=num_blocks,
                                splits=splits, interp=interpret)
@@ -500,9 +511,10 @@ def flow_g_pallas(flow_blocks, fz: jax.Array, cs,
     return jnp.transpose(x_sm, (0, 2, 1, 3)).reshape(B0, N0 * r, C)
 
 
-@functools.partial(jax.jit, static_argnums=(5,))
+@functools.partial(jax.jit, static_argnums=(5, 6))
 def flow_g_blend_pallas(flow_blocks, z_cm: jax.Array, ws: jax.Array,
-                        knn_idx: jax.Array, cs, interpret: bool = False):
+                        knn_idx: jax.Array, cs, interpret: bool = False,
+                        cs_cm: bool = False):
     """Latent interpolation + inverse flow, fused.
 
     z_cm: [B/P, C, P*N] latents in the f kernel's P-packed channel-major
@@ -527,9 +539,14 @@ def flow_g_blend_pallas(flow_blocks, z_cm: jax.Array, ws: jax.Array,
 
     # P patches fuse into one grid program; the per-patch blend prologue
     # loops over them, the flow body runs lane-packed
-    cdim_total = sum(c.shape[-1] for c in cs)
-    P = _pack_patches(B0, N0, cdim_total)
-    B, n = B0 // P, P * N0
+    if cs_cm:
+        B, n = cs[0].shape[0], cs[0].shape[2]
+        P = n // N0
+        assert B * P == B0, (cs[0].shape, B0, N0)
+    else:
+        cdim_total = sum(c.shape[-1] for c in cs)
+        P = _pack_patches(B0, N0, cdim_total)
+        B, n = B0 // P, P * N0
     m = n * r
     assert z_cm.shape == (B, C, n), (z_cm.shape, (B, C, n))
 
@@ -539,8 +556,12 @@ def flow_g_blend_pallas(flow_blocks, z_cm: jax.Array, ws: jax.Array,
     W = k_interp * N0 // 128
     idx_w = jnp.swapaxes(knn_idx.astype(jnp.int32), 1, 2).reshape(B0, W, 128)
 
-    cs_p = [c.reshape(B, n, c.shape[-1]) for c in cs]
-    cs_in = [jnp.swapaxes(c, 1, 2) for c in reversed(cs_p)]  # [B, cdim, n]
+    if cs_cm:
+        cs_in = list(reversed(cs))                         # [B, cdim, n]
+    else:
+        cs_p = [c.reshape(B, n, c.shape[-1]) for c in cs]
+        cs_in = [jnp.swapaxes(c, 1, 2)
+                 for c in reversed(cs_p)]                  # [B, cdim, n]
 
     kernel = functools.partial(_flow_g_blend_kernel, num_blocks=num_blocks,
                                splits=splits, r=r, k_interp=k_interp,

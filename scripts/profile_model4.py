@@ -19,10 +19,11 @@ import puflow_tpu  # noqa: F401
 from puflow_tpu.checkpoint import load_checkpoint
 from puflow_tpu.ops.pallas.knn_pallas import knn_self_pallas
 from puflow_tpu.ops.pallas.encoder_pallas import (
-    encoder_conditions_pallas,
+    encoder_conditions_pallas_cm,
     interp_weights_cm_pallas,
 )
 from puflow_tpu.ops.pallas.flow_pallas import (
+    _pack_patches,
     flow_f_pallas,
     flow_g_blend_pallas,
 )
@@ -42,34 +43,41 @@ def main():
     pts = jax.random.normal(key, (M, k, 3), dtype=jnp.float32)
     pts = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
 
+    cdim_total = sum(mp["conv2"]["w"].shape[1]
+                     for mp in params["merge_convs"])
+    P = _pack_patches(M, k, cdim_total)
+
     def upto_knn(x):
         return jnp.sum(knn_self_pallas(x, 16))
 
     def upto_enc(x):
         idx = knn_self_pallas(x, 16)
-        cs = encoder_conditions_pallas(params, x, idx)
+        cs = encoder_conditions_pallas_cm(params, x, idx, P)
         return sum(jnp.sum(c) for c in cs)
 
     def upto_w(x):
         idx = knn_self_pallas(x, 16)
-        cs = encoder_conditions_pallas(params, x, idx)
+        cs = encoder_conditions_pallas_cm(params, x, idx, P)
         ws = interp_weights_cm_pallas(params["interp"], x, idx[..., :8], R)
         return sum(jnp.sum(c) for c in cs) + jnp.sum(ws)
 
     def upto_f(x):
         idx = knn_self_pallas(x, 16)
-        cs = encoder_conditions_pallas(params, x, idx)
+        cs = encoder_conditions_pallas_cm(params, x, idx, P)
         ws = interp_weights_cm_pallas(params["interp"], x, idx[..., :8], R)
-        z = flow_f_pallas(params["flow_blocks"], x, cs, emit_cm=True)
+        z = flow_f_pallas(params["flow_blocks"], x, cs, emit_cm=True,
+                          cs_cm=True)
         return jnp.sum(z) + jnp.sum(ws)
 
     def upto_g(x):
         idx = knn_self_pallas(x, 16)
-        cs = encoder_conditions_pallas(params, x, idx)
+        cs = encoder_conditions_pallas_cm(params, x, idx, P)
         idx8 = idx[..., :8]
         ws = interp_weights_cm_pallas(params["interp"], x, idx8, R)
-        z = flow_f_pallas(params["flow_blocks"], x, cs, emit_cm=True)
-        out = flow_g_blend_pallas(params["flow_blocks"], z, ws, idx8, cs)
+        z = flow_f_pallas(params["flow_blocks"], x, cs, emit_cm=True,
+                          cs_cm=True)
+        out = flow_g_blend_pallas(params["flow_blocks"], z, ws, idx8, cs,
+                                  cs_cm=True)
         return jnp.sum(out)
 
     stages = [("knn", upto_knn), ("+encoder", upto_enc), ("+weights", upto_w),

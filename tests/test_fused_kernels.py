@@ -57,6 +57,77 @@ def test_encoder_kernel_matches_xla(folded):
             f"fast block {i}: {err_f} (scale {scale})"
 
 
+def test_encoder_cm_kernel_matches_xla(folded):
+    """The transposed (channel-major) encoder kernel — the shipped round-4
+    fused path — matches the XLA encoder, and its pack layout places
+    patch i of a pack at lanes i*n..(i+1)*n."""
+    from puflow_tpu.models import discrete
+    from puflow_tpu.ops.knn import knn_indices
+    from puflow_tpu.ops.pallas.encoder_pallas import (
+        EXACT_PRECISION,
+        FAST_PRECISION,
+        encoder_conditions_pallas_cm,
+    )
+
+    params, state = folded
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 64, 3)) * 0.3
+    idx = knn_indices(x, x, 16)
+    cs_ref, _ = discrete.feat_extract(params, state, x, idx, train=False)
+    cs_k = encoder_conditions_pallas_cm(params, x, idx, 1, True,
+                                        EXACT_PRECISION)
+    cs_f = encoder_conditions_pallas_cm(params, x, idx, 1, True,
+                                        FAST_PRECISION)
+    for i, (a, b, f) in enumerate(zip(cs_ref, cs_k, cs_f)):
+        b = np.swapaxes(np.asarray(b), 1, 2)
+        err = np.abs(np.asarray(a) - b).max()
+        scale = np.abs(np.asarray(a)).max()
+        assert err < 5e-5 * scale + 1e-4, f"block {i}: {err} ({scale})"
+        f = np.swapaxes(np.asarray(f), 1, 2)
+        err_f = np.abs(np.asarray(a) - f).max()
+        assert err_f < 5e-2 * scale + 1e-3, f"fast block {i}: {err_f}"
+
+    cs_p = encoder_conditions_pallas_cm(params, x, idx, 2, True,
+                                        EXACT_PRECISION)
+    for i, (a, p) in enumerate(zip(cs_k, cs_p)):
+        a, p = np.asarray(a), np.asarray(p)
+        packed = np.concatenate([a[0::2], a[1::2]], axis=0)  # noqa: F841
+        want = np.stack([np.concatenate([a[2 * j], a[2 * j + 1]], axis=1)
+                         for j in range(2)])
+        assert np.array_equal(p, want), f"pack layout block {i}"
+
+
+def test_interp_weights_cm_t_matches_xla(folded):
+    """Transposed weight head + fused slot softmax (shipped round-4 path)
+    vs the XLA head + softmax tail."""
+    from puflow_tpu.models.encoder import (
+        knn_context_apply,
+        weight_unit_apply,
+    )
+    from puflow_tpu.ops.knn import knn_indices
+    from puflow_tpu.ops.pallas.encoder_pallas import (
+        interp_weights_cm_pallas_t,
+    )
+
+    params, state = folded
+    r = 4
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 3)) * 0.3
+    idx = knn_indices(x, x, 8)
+    ip, istate = params["interp"], state["interp"]
+    ctx, _ = knn_context_apply(ip["knn_context"], istate["knn_context"], x,
+                               idx, False)
+    logits, _ = weight_unit_apply(ip["weight_unit"], istate["weight_unit"],
+                                  ctx, False)
+    w = jax.nn.softmax(logits[..., :r].astype(jnp.float32), axis=2)
+    ref = jnp.transpose(w, (0, 3, 2, 1)).reshape(2, r, 8 * 64)
+
+    got = interp_weights_cm_pallas_t(ip, x, idx, r, True, False)
+    err = np.abs(np.asarray(ref) - np.asarray(got)).max()
+    assert err < 5e-4, err
+    got_f = interp_weights_cm_pallas_t(ip, x, idx, r, True, True)
+    err_f = np.abs(np.asarray(ref) - np.asarray(got_f)).max()
+    assert err_f < 0.05, err_f
+
+
 def test_interp_kernel_matches_xla(folded):
     from puflow_tpu.models.encoder import (
         knn_context_apply,
