@@ -83,6 +83,51 @@ def bench_cnf():
     }))
 
 
+def bench_cnf_train():
+    """Secondary line: CNF-family training throughput at the reference
+    config (modules/continuous/train_interp.py: batch 32, 256-pt patches,
+    joint 1e-4*NLL + 5e-2*EMD-50, Adam + clip; dopri5 adjoint). Printed
+    BEFORE the headline so the driver's last-JSON-line parse still
+    records `patches_per_sec_per_chip`."""
+    import jax
+    import numpy as np
+
+    from puflow_tpu.data.synthetic import synthetic_pairs
+    from puflow_tpu.models import continuous
+    from puflow_tpu.parallel.mesh import make_mesh
+    from puflow_tpu.train.trainer import TrainConfig, Trainer
+
+    params, state = continuous.init(jax.random.PRNGKey(0))
+    trainer = Trainer(TrainConfig(), params, state,
+                      forward_fn=continuous.forward,
+                      mesh=make_mesh(jax.devices()))
+    sp, de = synthetic_pairs(np.random.RandomState(0), 32, 256, 4)
+
+    def step():
+        (trainer.params, trainer.bn_state, trainer.opt_state,
+         m) = trainer._train_step(trainer.params, trainer.bn_state,
+                                  trainer.opt_state, sp, de)
+        return m
+
+    for _ in range(2):
+        m = step()
+    np.asarray(m["loss"])
+    iters = 10
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(iters):
+            m = step()
+        np.asarray(m["loss"])
+        dt = min(dt, (time.time() - t0) / iters)
+    print(json.dumps({
+        "metric": "cnf_train_steps_per_sec",
+        "value": round(1.0 / dt, 2),
+        "unit": "steps/s (bs=32, 256->1024, dopri5 adjoint + emd50)",
+        "vs_baseline": round(1.0 / dt, 2),
+    }))
+
+
 def bench_train():
     """Secondary line: training throughput at the reference PU1K config
     (batch 32, 256 -> 1024 patches, joint NLL + 50-iteration auction EMD,
@@ -219,6 +264,10 @@ if __name__ == "__main__":
         bench_train()
     except Exception as e:  # secondary line must never kill the headline
         print(f"train bench skipped: {e}")
+    try:
+        bench_cnf_train()
+    except Exception as e:  # secondary line must never kill the headline
+        print(f"cnf train bench skipped: {e}")
     try:
         main()
     except Exception as e:

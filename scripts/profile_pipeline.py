@@ -51,7 +51,9 @@ def main():
     from puflow_tpu.ops.fps import farthest_point_sample_seeded_morton
     from puflow_tpu.ops.knn import gather_points
 
-    G = auto_merge_groups(B * n_patch * k * R)
+    # per-CLOUD candidate count, mirroring the shipped gate exactly
+    # (upsample_cloud_impl groups on pred.shape[1], not the batch total)
+    G = auto_merge_groups(n_patch * k * R)
 
     @jax.jit
     def merge(cand, orig):
