@@ -42,11 +42,18 @@ def main(argv=None):
                              "comparisons")
     parser.add_argument("--batch", type=int, default=1,
                         help="clouds per device batch")
+    parser.add_argument("--seeded_merge", action="store_true",
+                        help="opt-in fast merge: emit all originals and "
+                             "seeded-FPS only the remainder. ~25% fewer "
+                             "selection steps but measured ~2x uniformity "
+                             "vs the reference at protocol scale "
+                             "(QUALITY.md round-4b) — default is the "
+                             "reference-identical union merge")
     parser.add_argument("--merge_groups", type=int, default=0,
-                        help="grouped-merge FPS parallelism (0 = auto by "
-                             "candidate count, 1 = exact seeded FPS; "
-                             "higher = fewer sequential selection steps, "
-                             "CD-gated)")
+                        help="grouped seeded-merge FPS parallelism "
+                             "(with --seeded_merge; 0 = auto by candidate "
+                             "count, 1 = exact seeded FPS; higher = fewer "
+                             "sequential selection steps)")
     args = parser.parse_args(argv)
 
     import jax
@@ -94,11 +101,11 @@ def main(argv=None):
 
     for n, items in sorted(by_n.items()):
         npoint = (args.num_out or n * args.up_ratio) + args.num_outlier
-        # default path: seeded merge (originals emitted + seeded FPS over
-        # predictions, CD-gated); --exact keeps the reference-identical
-        # union merge (see inference/patch.py)
+        # default: reference-identical union merge (round-4 protocol
+        # side-by-side: the seeded shortcut costs ~2x uniformity — see
+        # inference/patch.py); --seeded_merge opts into the fast path
         merge_cand = None
-        seeded = not args.exact and npoint > n
+        seeded = args.seeded_merge and not args.exact and npoint > n
         # batch same-size clouds through one jit call (pad the tail batch
         # so every batch reuses the same compilation)
         bsz = max(1, args.batch)

@@ -163,7 +163,7 @@ def auto_merge_groups(n_candidates: int) -> int:
 def upsample_cloud_impl(model_params, pc: jax.Array, sample_fn, npoint: int,
                         upratio: int = 4, patch_size: int = 256,
                         expand_ratio: float = 4.0, merge_candidates=None,
-                        seeded_merge: bool = True, merge_groups: int = 0,
+                        seeded_merge: bool = False, merge_groups: int = 0,
                         jitter_key=None) -> jax.Array:
     """Upsample whole clouds patch-wise.
 
@@ -202,14 +202,25 @@ def upsample_cloud_impl(model_params, pc: jax.Array, sample_fn, npoint: int,
     if seeded_merge and npoint <= N:   # degenerate: fewer outputs than inputs
         seeded_merge = False
     if seeded_merge:
-        # Seeded merge: the originals are exact surface samples that the
-        # reference union always contains, so emit ALL of them directly
-        # and greedily select only the remaining npoint - N points from
-        # the predictions, with the FPS min-distance cache SEEDED by the
-        # originals (one reduction-free sweep, ~40% of a selection step's
-        # cost). Cuts selection steps ~25% and candidates ~18% at the x4
-        # defaults. Not index-identical to the reference's FPS — gated by
-        # the golden pipeline-CD tests like every fast path.
+        # Seeded merge (OPT-IN speed knob, NOT the default): the originals
+        # are exact surface samples that the reference union always
+        # contains, so emit ALL of them directly and greedily select only
+        # the remaining npoint - N points from the predictions, with the
+        # FPS min-distance cache SEEDED by the originals (one
+        # reduction-free sweep, ~40% of a selection step's cost). Cuts
+        # selection steps ~25% and candidates ~18% at the x4 defaults.
+        #
+        # ROUND-4 PROTOCOL FINDING (why this is no longer the default):
+        # force-emitting every original privileges 25% of the output that
+        # the reference's free FPS over the union would NOT all keep, and
+        # the 127-mesh side-by-side vs the EXECUTED reference showed the
+        # cost — uniformity ~2.0x the reference's even at G=1 (0.053 vs
+        # 0.026), CD +20%; with auto Morton grouping G=16 on top, CD +51%
+        # / JSD +45% / uniformity 2.2-2.7x. The union merge below lands
+        # every aggregate metric within ~5% of the reference's own
+        # outputs with the SAME fused kernels (QUALITY.md round-4b;
+        # per-run CSVs in the round-4 side-by-side). Single-cloud CD
+        # gates did NOT catch this — only the paired protocol run did.
         # grouped two-level selection (merge_groups spatially-compact
         # cells run their FPS in parallel -> ~merge_groups x fewer
         # sequential steps); merge_groups=1 is the exact seeded FPS,

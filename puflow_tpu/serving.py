@@ -13,7 +13,7 @@ needs only jax + the artifact file:
     schedules). Batch may be symbolic (any B at runtime, one artifact).
   * `export_cloud_upsampler` — the full whole-cloud pipeline
     ``clouds [B, N, 3] -> [B, npoint, 3]`` (normalise -> FPS seeds -> k-NN
-    patches -> model -> seeded merge), shapes fixed at export time like
+    patches -> model -> union merge), shapes fixed at export time like
     every pipeline compilation.
   * `save_exported` / `load_exported` — file round-trip; the loaded object
     is directly callable (and jittable) on the serving host.

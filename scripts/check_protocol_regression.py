@@ -1,0 +1,78 @@
+"""Protocol-scale quality regression fence (VERDICT r3 item 3).
+
+Compares a fresh 127-fixture aggregate row (`evaluation.csv` from
+`scripts/eval_fixtures.sh <ckpt> <dir> 127`) against the checked-in
+expected aggregate for the SHIPPED pipeline config
+(`artifacts/protocol_expected_r4.json`). The round-3d strided-merge
+episode proved single-cloud CD gates do not catch uniformity collapse —
+this fence fails if any aggregate metric drifts beyond tolerance.
+
+usage:
+  python scripts/check_protocol_regression.py <results_dir>/evaluation.csv
+  python scripts/check_protocol_regression.py --update <csv>   # rebaseline
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import math
+import os
+import sys
+
+EXPECTED = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "artifacts", "protocol_expected_r4.json")
+# metric -> allowed relative increase vs the recorded baseline. CD/HD/EMD
+# carry fused-kernel + merge-selection noise (~5% run to run); JSD and the
+# uniformity columns are the collapse detectors the round-3d episode
+# motivated (strided merge moved uniform_0 0.04 -> 0.10 = +150%).
+TOLERANCE = {
+    "CD": 0.10, "EMD": 0.10, "hausdorff": 0.15,
+    "p2f avg": 0.10, "p2f std": 0.15,
+    "JSD": 0.10,
+    "uniform_0": 0.25, "uniform_1": 0.25, "uniform_2": 0.25,
+    "uniform_3": 0.25, "uniform_4": 0.25,
+}
+
+
+def load_agg(path):
+    with open(path) as fh:
+        rows = list(csv.DictReader(fh))
+    agg = rows[-1]
+    return {k: float(v) for k, v in agg.items()
+            if k != "name" and v not in ("", None)}, len(rows) - 1
+
+
+def main():
+    args = [a for a in sys.argv[1:] if a != "--update"]
+    update = "--update" in sys.argv
+    agg, n = load_agg(args[0])
+    if update:
+        with open(EXPECTED, "w") as fh:
+            json.dump({"n_files": n, "aggregate": agg}, fh, indent=1)
+        print(f"baseline updated from {args[0]} ({n} files)")
+        return
+    want = json.load(open(EXPECTED))
+    exp = want["aggregate"]
+    if n != want["n_files"]:
+        print(f"FAIL: file count {n} != baseline {want['n_files']}")
+        sys.exit(1)
+    bad = []
+    print(f"{'metric':>12s} {'now':>12s} {'baseline':>12s} {'ratio':>7s}")
+    for k, tol in TOLERANCE.items():
+        if k not in agg or k not in exp or math.isnan(exp[k]):
+            continue
+        ratio = agg[k] / exp[k] if exp[k] else float("inf")
+        flag = ""
+        if agg[k] > exp[k] * (1 + tol):
+            flag = f"  <-- REGRESSION (tol +{tol:.0%})"
+            bad.append(k)
+        print(f"{k:>12s} {agg[k]:12.6g} {exp[k]:12.6g} {ratio:7.3f}{flag}")
+    if bad:
+        print(f"FAIL: {bad}")
+        sys.exit(1)
+    print("PASS: aggregate within tolerance of the recorded baseline")
+
+
+if __name__ == "__main__":
+    main()
