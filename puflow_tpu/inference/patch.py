@@ -261,6 +261,17 @@ def upsample_cloud_impl(model_params, pc: jax.Array, sample_fn, npoint: int,
             # Voxel pre-reduction (CD-gated; measured cost-neutral at the
             # x4 defaults — kept for callers with larger unions).
             merged = merge_patches_approx(union, npoint, merge_candidates)
+        elif merge_groups > 1:
+            # Grouped-union merge (opt-in): Morton cells run the union
+            # FPS in parallel — reference FPS semantics per compact cell
+            # (no forced originals), ~merge_groups x fewer sequential
+            # selection steps. Protocol-scale quality vs the executed
+            # reference is recorded per-G in QUALITY.md round-4b before
+            # any G becomes a default.
+            from puflow_tpu.ops.fps import farthest_point_sample_morton
+
+            sel = farthest_point_sample_morton(union, npoint, merge_groups)
+            merged = gather_points(union, sel)
         else:
             merged = merge_patches(union, npoint)          # [B, npoint, 3]
     return merged * g_furthest + g_centroid

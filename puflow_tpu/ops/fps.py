@@ -243,6 +243,40 @@ def farthest_point_sample_seeded_morton(xyz: jax.Array, seeds: jax.Array,
     return sel[:, :n_samples]
 
 
+def farthest_point_sample_morton(xyz: jax.Array, n_samples: int,
+                                 groups: int,
+                                 use_pallas: bool | None = None
+                                 ) -> jax.Array:
+    """Morton-partitioned grouped UNSEEDED FPS (round 4b).
+
+    The grouped-union merge: sort once by Morton key, chop into
+    ``groups`` equal spatially-compact cells, FPS ``n/G`` points from
+    each cell independently — every candidate (originals included)
+    competes like in the reference's free FPS over the union, unlike the
+    seeded policy that force-emits all originals (protocol-scale
+    uniformity cost measured in QUALITY.md round-4b). Cell mechanics and
+    the sort-with-payload trick are identical to
+    :func:`farthest_point_sample_seeded_morton`.
+    """
+    B, M, C = xyz.shape
+    G = groups
+    if G <= 1 or M % G != 0 or n_samples < G or C != 3:
+        return farthest_point_sample(xyz, n_samples, use_pallas)
+    iota = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32), (B, M))
+    _, x, y, z, order = jax.lax.sort(
+        (_morton_key(xyz), xyz[..., 0], xyz[..., 1], xyz[..., 2], iota),
+        dimension=-1, num_keys=1, is_stable=True)
+    pts = jnp.stack([x, y, z], axis=-1)                     # [B, M, 3]
+
+    mg = -(-n_samples // G)
+    grouped = pts.reshape(B * G, M // G, C)
+    sel = farthest_point_sample(grouped, mg, use_pallas)
+    sel = jnp.take_along_axis(order.reshape(B, G, M // G),
+                              sel.reshape(B, G, mg), axis=2)
+    sel = jnp.transpose(sel, (0, 2, 1)).reshape(B, G * mg)
+    return sel[:, :n_samples]
+
+
 def farthest_point_sample_seeded_xla(xyz: jax.Array, seeds: jax.Array,
                                      n_samples: int) -> jax.Array:
     """XLA formulation of :func:`farthest_point_sample_seeded`."""
