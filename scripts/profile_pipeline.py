@@ -47,19 +47,14 @@ def main():
     pred_full = (pred * furth + cent).reshape(B, -1, 3)
     print("candidates shape:", pred_full.shape)
 
-    from puflow_tpu.inference.patch import auto_merge_groups
-    from puflow_tpu.ops.fps import farthest_point_sample_seeded_morton
-    from puflow_tpu.ops.knn import gather_points
-
-    # per-CLOUD candidate count, mirroring the shipped gate exactly
-    # (upsample_cloud_impl groups on pred.shape[1], not the batch total)
-    G = auto_merge_groups(n_patch * k * R)
+    from puflow_tpu.inference.patch import merge_patches
 
     @jax.jit
     def merge(cand, orig):
-        # shipped default: Morton-cell grouped seeded FPS (auto G)
-        sel = farthest_point_sample_seeded_morton(cand, orig, npoint - N, G)
-        return jnp.concatenate([orig, gather_points(cand, sel)], axis=1)
+        # shipped default (round 4b): reference-identical union merge —
+        # free FPS over predictions + deduped originals
+        union = jnp.concatenate([cand, orig], axis=1)
+        return merge_patches(union, npoint)
 
     merge(pred_full, pc_n)
 
@@ -67,9 +62,20 @@ def main():
                                     k, 4.0)
     full(pts)
 
-    t_ex = time_fn(extract, pc_n, iters=20)
-    t_mo = time_fn(model, model_params, flat_n, iters=20)
-    t_me = time_fn(merge, pred_full, pc_n, iters=20)
+    # scalar-reduced stage closures: returning the big intermediates
+    # inflates each stage by its tunnel-transfer cost (QUALITY.md round-3
+    # timing-methodology trap) — the round-3 "21 ms pipeline/model gap"
+    # was exactly this artifact
+    ex_s = jax.jit(lambda p: jnp.sum(extract_patches(p, n_patch, k)))
+    mo_s = jax.jit(lambda mp, f: jnp.sum(sample_fn(mp, f, R)))
+    me_s = jax.jit(lambda c, o: jnp.sum(merge(c, o)))
+    for f, a in ((ex_s, (pc_n,)), (mo_s, (model_params, flat_n)),
+                 (me_s, (pred_full, pc_n))):
+        f(*a)
+
+    t_ex = time_fn(ex_s, pc_n, iters=20)
+    t_mo = time_fn(mo_s, model_params, flat_n, iters=20)
+    t_me = time_fn(me_s, pred_full, pc_n, iters=20)
     t_fu = time_fn(full, pts, iters=20)
     tot_patches = B * n_patch
     print(f"B={B}  patches/iter={tot_patches}")

@@ -17,6 +17,7 @@ import numpy as np
 def main():
     work = sys.argv[1]
     out_name = sys.argv[2] if len(sys.argv) > 2 else "pred_union"
+    merge_cand = int(sys.argv[3]) if len(sys.argv) > 3 else None
     import jax
     import jax.numpy as jnp
 
@@ -46,7 +47,7 @@ def main():
                 [clouds, np.repeat(clouds[-1:], pad, axis=0)])
         cj = jnp.asarray(clouds)
         pred = upsample_cloud(mp, cj, sample_fn, n * 4 + 24, 4, 256, 4.0,
-                              None, False)        # seeded_merge=False
+                              merge_cand, False)  # seeded_merge=False
         pred = remove_outliers(pred, cj, 24)
         pred = np.asarray(pred)
         for i, f in enumerate(chunk):
