@@ -95,17 +95,22 @@ def _voxel_candidates(pts: jax.Array, n_cand: int, grid: int,
 
 
 def merge_patches_approx(points: jax.Array, npoint: int, n_cand: int,
-                         grid: int = 128) -> jax.Array:
+                         grid: int = 256) -> jax.Array:
     """Merge with voxel pre-reduction: dedup the overlap-heavy patch union
     to `n_cand` spatial candidates (one representative per occupied voxel,
     original points — nothing is snapped), then exact FPS on the survivors.
 
-    The exact merge FPS is VPU-bound at ~2.9 us per selection step with
-    cost proportional to the candidate count; the patch union carries ~5x
-    overlap (`expand_ratio * (upratio+1)/upratio`), so halving candidates
-    halves the dominant pipeline stage. Approximation is CD-gated against
-    the executed reference (scripts/check_fused_parity.py) — the `--exact`
-    CLI path keeps the unreduced merge.
+    The exact merge FPS is VPU-THROUGHPUT-bound with cost proportional to
+    the candidate count; the patch union carries ~4x near-duplicate
+    overlap, so dedup directly cuts the dominant pipeline stage.
+
+    GRID MATTERS (round-4b, 127-mesh side-by-side vs the executed
+    reference): at grid=128 the voxel edge (~0.016 on the normalized
+    cloud) is 2.5x the 8192-point GT spacing (~0.039/2.5), so distinct
+    sub-spacing detail merges — CD +22%, uniformity +41%. At grid=256
+    the voxel is ~1/5 of the GT spacing and only true near-duplicates
+    collapse (34816 -> ~22k distinct voxels on a real union). The
+    `--exact` CLI path keeps the unreduced merge.
     """
     hash_size = 4 * points.shape[1]
     cand_idx = jax.vmap(
