@@ -316,7 +316,15 @@ def _adjoint_for(layer_type: str, nonlinearity: str):
     """One custom_vjp adjoint-solver instance per net configuration.
 
     The field is params-explicit (p = {"layers", "c"}) so the continuous
-    adjoint can propagate gradients into the net and the conditions."""
+    adjoint can propagate gradients into the net and the conditions.
+
+    For the reference configuration (concatsquash + tanh, no shared
+    swish beta) on TPU, the FORWARD integration runs as the fused
+    whole-solve Pallas kernel with the exact-trace log-density channel
+    (`cnf_solve_logp_pallas`) — the adjoint backward re-solves from its
+    y1, so gradients need no AD through the kernel. Everything else
+    (layer zoo, CPU tests, Hutchinson parity paths) keeps the XLA
+    solver."""
     def _cnf_field(p, t, state):
         y, _ = state
         layers, c = p["layers"], p["c"]
@@ -332,7 +340,23 @@ def _adjoint_for(layer_type: str, nonlinearity: str):
             div = div + je[..., i]
         return dy, -div[..., None]
 
-    return make_adjoint_odeint(_cnf_field, RTOL, ATOL, MAX_STEPS_EVAL)
+    fwd_solver = None
+    if (layer_type == "concatsquash" and nonlinearity == "tanh"
+            and jax.default_backend() not in ("cpu",)):
+        from puflow_tpu.ops.pallas.cnf_pallas import cnf_solve_logp_pallas
+
+        def fwd_solver(p, y0, t0, t1):
+            layers = p["layers"]
+            if isinstance(layers, dict):   # shared-beta zoo variant
+                return odeint_dopri5(
+                    lambda t, y: _cnf_field(p, t, y), y0, t0, t1,
+                    RTOL, ATOL, MAX_STEPS_EVAL, differentiable=False)
+            y, logp0 = y0
+            return cnf_solve_logp_pallas(layers, p["c"], y, logp0, t0, t1,
+                                         RTOL, ATOL, MAX_STEPS_EVAL)
+
+    return make_adjoint_odeint(_cnf_field, RTOL, ATOL, MAX_STEPS_EVAL,
+                               fwd_solver=fwd_solver)
 
 
 # --------------------------------------------------------------------------

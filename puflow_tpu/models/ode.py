@@ -179,7 +179,7 @@ def _tree_vdot(a, b):
 
 
 def make_adjoint_odeint(func, rtol: float = 1e-5, atol: float = 1e-5,
-                        max_steps: int = 128):
+                        max_steps: int = 128, fwd_solver=None):
     """Build ``solve(params, y0, t0, t1) -> y(t1)`` with adjoint gradients.
 
     ``func(params, t, y) -> dy`` where `params` and `y` are pytrees.
@@ -189,10 +189,19 @@ def make_adjoint_odeint(func, rtol: float = 1e-5, atol: float = 1e-5,
     Backward solves d/dt [y, a, g] = [f, -a^T df/dy, -a^T df/dparams] from
     t1 to t0 (one vjp of `func` per field evaluation), with the boundary
     terms dL/dt1 = a(t1).f(t1, y1) and dL/dt0 = -a(t0).f(t0, y0).
+
+    ``fwd_solver(params, y0, t0, t1) -> y1`` optionally replaces the
+    FORWARD integration only (e.g. the fused Pallas whole-solve kernel,
+    `ops/pallas/cnf_pallas.cnf_solve_logp_pallas`): the continuous
+    adjoint re-solves backward from y1, so gradients stay consistent with
+    whatever trajectory the forward produced — no AD through the
+    override is needed.
     """
 
     @jax.custom_vjp
     def solve(params, y0, t0, t1):
+        if fwd_solver is not None:
+            return fwd_solver(params, y0, t0, t1)
         return odeint_dopri5(lambda t, y: func(params, t, y), y0, t0, t1,
                              rtol, atol, max_steps, differentiable=False)
 
