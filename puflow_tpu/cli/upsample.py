@@ -44,16 +44,18 @@ def main(argv=None):
                         help="clouds per device batch")
     parser.add_argument("--seeded_merge", action="store_true",
                         help="opt-in fast merge: emit all originals and "
-                             "seeded-FPS only the remainder. ~25% fewer "
+                             "seeded-FPS only the remainder. ~25%% fewer "
                              "selection steps but measured ~2x uniformity "
                              "vs the reference at protocol scale "
                              "(QUALITY.md round-4b) — default is the "
                              "reference-identical union merge")
     parser.add_argument("--merge_groups", type=int, default=0,
-                        help="grouped seeded-merge FPS parallelism "
-                             "(with --seeded_merge; 0 = auto by candidate "
-                             "count, 1 = exact seeded FPS; higher = fewer "
-                             "sequential selection steps)")
+                        help="grouped merge-FPS parallelism. With "
+                             "--seeded_merge: 0 = auto by candidate count, "
+                             "1 = exact seeded FPS. Without it, values > 1 "
+                             "select the approximate grouped-UNION merge "
+                             "(Morton cells; quality-affecting — see "
+                             "QUALITY.md round-4b before using)")
     args = parser.parse_args(argv)
 
     import jax

@@ -260,7 +260,10 @@ def farthest_point_sample_morton(xyz: jax.Array, n_samples: int,
     """
     B, M, C = xyz.shape
     G = groups
-    if G <= 1 or M % G != 0 or n_samples < G or C != 3:
+    if (G <= 1 or M % G != 0 or n_samples < G or C != 3
+            or -(-n_samples // G) > M // G):
+        # the last guard: ceil(n/G) beyond the per-cell candidate count
+        # would make each cell return duplicate indices
         return farthest_point_sample(xyz, n_samples, use_pallas)
     iota = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32), (B, M))
     _, x, y, z, order = jax.lax.sort(

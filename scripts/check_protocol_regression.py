@@ -62,6 +62,12 @@ def main():
     for k, tol in TOLERANCE.items():
         if k not in agg or k not in exp or math.isnan(exp[k]):
             continue
+        if math.isnan(agg[k]):
+            # a NaN metric in the fresh run is a broken eval, not a pass
+            flag = "  <-- NaN in fresh aggregate"
+            bad.append(k)
+            print(f"{k:>12s} {'nan':>12s} {exp[k]:12.6g} {'':>7s}{flag}")
+            continue
         ratio = agg[k] / exp[k] if exp[k] else float("inf")
         flag = ""
         if agg[k] > exp[k] * (1 + tol):

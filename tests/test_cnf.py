@@ -211,3 +211,30 @@ def test_cnf_solve_kernel_matches_xla_solver():
                             differentiable=False)
         got = cnf_solve_pallas(layers, c, y, T, reverse, 1e-5, 1e-5, True)
         assert float(jnp.abs(ref - got).max()) < 5e-6
+
+
+def test_cnf_solve_logp_kernel_matches_xla_solver():
+    """The fused dopri5 kernel WITH the exact-trace log-density channel
+    (the default forward solver inside the adjoint custom_vjp on TPU,
+    `models/continuous.py:_adjoint_for`) matches the XLA adaptive solver
+    on the exact-trace field in interpret mode, both directions."""
+    from puflow_tpu.models.continuous import (field_with_exact_div,
+                                              odenet_init)
+    from puflow_tpu.models.ode import odeint_dopri5
+    from puflow_tpu.ops.pallas.cnf_pallas import cnf_solve_logp_pallas
+
+    layers = odenet_init(jax.random.PRNGKey(0), 3, 32)
+    B, N = 2, 100
+    c = jax.random.normal(jax.random.PRNGKey(1), (B, N, 32)) * 0.5
+    y = jax.random.normal(jax.random.PRNGKey(2), (B, N, 3)) * 0.5
+    logp0 = jax.random.normal(jax.random.PRNGKey(3), (B, N, 1)) * 0.1
+    T = 0.47
+    fn = field_with_exact_div(layers, c)
+    for reverse in (False, True):
+        t0, t1 = (T, 0.0) if reverse else (0.0, T)
+        ref_y, ref_lp = odeint_dopri5(fn, (y, logp0), t0, t1, 1e-5, 1e-5,
+                                      differentiable=False)
+        got_y, got_lp = cnf_solve_logp_pallas(layers, c, y, logp0, t0, t1,
+                                              1e-5, 1e-5, 128, True)
+        assert float(jnp.abs(ref_y - got_y).max()) < 5e-6
+        assert float(jnp.abs(ref_lp - got_lp).max()) < 5e-6
