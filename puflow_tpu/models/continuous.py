@@ -341,6 +341,7 @@ def _adjoint_for(layer_type: str, nonlinearity: str):
         return dy, -div[..., None]
 
     fwd_solver = None
+    bwd_solver = None
     if (layer_type == "concatsquash" and nonlinearity == "tanh"
             and jax.default_backend() not in ("cpu",)):
         from puflow_tpu.ops.pallas.cnf_pallas import cnf_solve_logp_pallas
@@ -355,8 +356,27 @@ def _adjoint_for(layer_type: str, nonlinearity: str):
             return cnf_solve_logp_pallas(layers, p["c"], y, logp0, t0, t1,
                                          RTOL, ATOL, MAX_STEPS_EVAL)
 
+        from puflow_tpu.ops.pallas.cnf_adjoint_pallas import \
+            cnf_adjoint_bwd_pallas
+
+        def bwd_solver(p, y1, y1_bar, t0, t1):
+            layers = p["layers"]
+            if isinstance(layers, dict):   # shared-beta zoo variant
+                return None                # XLA fallback
+            if p["c"].shape[-1] != 32:     # kernel packing assumes cdim 32
+                return None
+            y, logp1 = y1
+            a_y, a_p = y1_bar
+            y0, a0, dc, dlayers = cnf_adjoint_bwd_pallas(
+                layers, p["c"], y, a_y, a_p, t0, t1, RTOL, ATOL,
+                MAX_STEPS_EVAL)
+            # the logp channel's value never feeds the field: zeros suffice
+            # for the t0 boundary-term reconstruction
+            return ((y0, jnp.zeros_like(logp1)), (a0, a_p),
+                    {"layers": dlayers, "c": dc})
+
     return make_adjoint_odeint(_cnf_field, RTOL, ATOL, MAX_STEPS_EVAL,
-                               fwd_solver=fwd_solver)
+                               fwd_solver=fwd_solver, bwd_solver=bwd_solver)
 
 
 # --------------------------------------------------------------------------

@@ -179,7 +179,8 @@ def _tree_vdot(a, b):
 
 
 def make_adjoint_odeint(func, rtol: float = 1e-5, atol: float = 1e-5,
-                        max_steps: int = 128, fwd_solver=None):
+                        max_steps: int = 128, fwd_solver=None,
+                        bwd_solver=None):
     """Build ``solve(params, y0, t0, t1) -> y(t1)`` with adjoint gradients.
 
     ``func(params, t, y) -> dy`` where `params` and `y` are pytrees.
@@ -196,6 +197,13 @@ def make_adjoint_odeint(func, rtol: float = 1e-5, atol: float = 1e-5,
     adjoint re-solves backward from y1, so gradients stay consistent with
     whatever trajectory the forward produced — no AD through the
     override is needed.
+
+    ``bwd_solver(params, y1, y1_bar, t0, t1) -> (y0_rec, a0, g_total)``
+    optionally replaces the BACKWARD augmented integration (e.g. the fused
+    `ops/pallas/cnf_adjoint_pallas.cnf_adjoint_bwd_pallas` kernel). It may
+    return ``None`` at trace time to fall back to the XLA path (used when
+    the params structure is not the one the kernel supports). The t0/t1
+    boundary cotangents are still computed here from `func`.
     """
 
     @jax.custom_vjp
@@ -215,6 +223,14 @@ def make_adjoint_odeint(func, rtol: float = 1e-5, atol: float = 1e-5,
         t1 = jnp.asarray(t1, jnp.float32)
         f1 = func(params, t1, y1)
         t1_bar = _tree_vdot(y1_bar, f1)
+
+        if bwd_solver is not None:
+            fused = bwd_solver(params, y1, y1_bar, t0, t1)
+            if fused is not None:
+                y0_rec, a0, g_total = fused
+                f0 = func(params, t0, y0_rec)
+                t0_bar = -_tree_vdot(a0, f0)
+                return g_total, a0, t0_bar, t1_bar
 
         def aug_field(t, state):
             y, a, _g = state

@@ -1,0 +1,451 @@
+"""Whole-solve fused dopri5 kernel for the CNF continuous-adjoint BACKWARD.
+
+The training bottleneck (VERDICT r4 item 4): the adjoint backward re-solve
+(`models/ode.make_adjoint_odeint.bwd`) evaluates an augmented field — one
+`jax.vjp` through the exact-trace concatsquash field per RK stage — as ~200
+small XLA HLOs inside a `while_loop`, which is per-op-launch bound on TPU
+(reference analogue: torchdiffeq's `odeint_adjoint` backward,
+`/root/reference/modules/continuous/cnf.py:89-108`, `odefunc.py:9-30`).
+
+This kernel runs the ENTIRE adaptive backward solve in one Pallas launch,
+integrating from t1 back to t0:
+
+  dy/dt  = f(t, y)                                  (trajectory reconstruction)
+  da/dt  = -dS/dy        S := a . f - a_p . div f   (adjoint; a_p constant)
+  dgc/dt = -dS/dc^T      (condition cotangent, per point — quadrature)
+  dG/dt  = -dS/dtheta    (layer/hypernet param grads, packed — quadrature)
+
+matching `make_adjoint_odeint`'s XLA `aug_field` exactly: the vjp of the
+exact-trace field is HAND-WRITTEN here as (primal backprop) + (reverse over
+the 3-basis tangent chains), reusing the primal's sigmoid/tanh values so
+the backward adds no transcendentals. All derivative code is validated in
+interpret mode against `jax.vjp` of the XLA field (tests/test_cnf.py).
+
+Layout: transposed ([rows, R]); the 3 tangent chains batch on 3R lanes as
+in `_cnf_solve_logp_kernel`. Dynamic state (y, a) keeps the 7 RK stages in
+scratch; quadrature state (gc, G) never feeds back into the field, so only
+the B5/B4-weighted running sums are held (2 accumulators instead of 7 ks).
+The grid tiles R: each block solves its own adaptive loop (points are
+independent ODEs; the XLA path shares one h across the whole batch, so
+trajectories differ within solver tolerance — gradient parity is gated in
+tests), and the packed param-grad matrix G accumulates across blocks
+through the sequentially-revisited output.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from puflow_tpu.ops.pallas.cnf_pallas import (_A, _B4, _B5, _C,
+                                              _COMPILER_PARAMS, _MAX_FACTOR,
+                                              _MIN_FACTOR, _ORDER, _SAFETY,
+                                              _f32_dot)
+
+# packed param-grad matrix G: rows = layer-output channels stacked
+# (64 + 64 + 3 -> padded 136), cols = [dW 0:64 | dWgc 64:96 | dWbc 96:128 |
+# db 128 | dgate_t 129 | dbgc 130 | dbias_t 131] (padded to 256 lanes)
+_G_ROWS = 136
+_G_COLS = 256
+_CDIM = 32
+
+
+def _row_sum(x):
+    return jnp.sum(x, axis=1, keepdims=True)                # [d, R] -> [d, 1]
+
+
+def _cnf_adjoint_kernel(s0_ref, t0_ref, t1_ref, c_ref, *refs,
+                        n_layers: int, n_total: int, block_r: int,
+                        dims: tuple, rtol: float, atol: float,
+                        max_steps: int):
+    """s0 rows: 0-2 y1, 3-5 a1, 6 a_p. refs: per-layer (wT [dout,din],
+    w [din,dout], gate_t, bias_t, gate_c [dout,R], bias_c [dout,R], b,
+    wgc [cdim,dout], wbc [cdim,dout]) then out_s, out_G and scratch
+    (s_dyn [8,R], k_dyn [56,R], gc [cdim,R], acc5/acc4_gc, kgc1,
+    G [136,256], acc5/acc4_G, kG1)."""
+    w_refs = refs[:9 * n_layers]
+    (out_s_ref, out_g_ref, s_ref, k_ref, gc_ref, a5gc_ref, a4gc_ref,
+     kgc1_ref, g_ref, a5g_ref, a4g_ref, kg1_ref) = refs[9 * n_layers:]
+
+    t0 = t0_ref[0]
+    t1 = t1_ref[0]
+    span = jnp.abs(t0 - t1)
+    direction = jnp.sign(t0 - t1)                  # integrate t1 -> t0
+
+    pid = pl.program_id(0)
+    Rp = block_r
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, Rp), 1) + pid * Rp
+    lane_valid = (lane_ids < n_total).astype(jnp.float32)
+    n_valid = jnp.sum(lane_valid)
+
+    cT = c_ref[...]                                # [cdim, R]
+    ap = s0_ref[6:7, :] * lane_valid               # constant logp adjoint
+
+    def rep3(x):
+        return pltpu.repeat(x, 3, 1)
+
+    def sum3(x):
+        return (x[:, 0:Rp] + x[:, Rp:2 * Rp] + x[:, 2 * Rp:3 * Rp])
+
+    u_rows = jax.lax.broadcasted_iota(jnp.int32, (3, 3 * Rp), 0)
+    u_cols = jax.lax.broadcasted_iota(jnp.int32, (3, 3 * Rp), 1)
+    u0 = (u_rows == u_cols // Rp).astype(jnp.float32)
+
+    def _dot_rr(a, b):
+        """[da, R] x [db, R] contracting R -> [da, db] (grad outer sums)."""
+        return jax.lax.dot_general(
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+    def _dot_rr_f32(a, b):
+        a_hi = a.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        b_hi = b.astype(jnp.bfloat16)
+        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return (_dot_rr(a_hi, b_hi) + _dot_rr(a_hi, b_lo)
+                + _dot_rr(a_lo, b_hi))
+
+    def field(t, y, a):
+        """Augmented field eval. Returns (dy [3,R], da [3,R], kgc [cdim,R],
+        kG [G_ROWS, G_COLS]) = (f, -dS/dy, -dS/dc, -dS/dtheta)."""
+        # ---- primal forward (store activations) -------------------------
+        xs = [y]                                  # x_{l-1} per layer
+        hs, ss, ms = [], [], []
+        dx = y
+        for li in range(n_layers):
+            base = li * 9
+            wT = w_refs[base][...]
+            gate_t = w_refs[base + 2][...]
+            bias_t = w_refs[base + 3][...]
+            gate_c = w_refs[base + 4][...]
+            bias_c = w_refs[base + 5][...]
+            b = w_refs[base + 6][...]
+            h = _f32_dot(wT, dx) + b
+            s = jax.nn.sigmoid(gate_t * t + gate_c)
+            z = h * s + (bias_t * t + bias_c)
+            hs.append(h)
+            ss.append(s)
+            if li < n_layers - 1:
+                dx = jnp.tanh(z)
+                ms.append(1.0 - dx * dx)
+                xs.append(dx)
+            else:
+                dx = z
+        f_out = dx
+
+        # ---- tangent chains (3 basis vectors on 3R lanes) ---------------
+        u = u0
+        us = [u]                                  # u_{l-1} per layer
+        vs, wts = [], []
+        for li in range(n_layers):
+            wT = w_refs[li * 9][...]
+            v = _f32_dot(wT, u)
+            wt = v * rep3(ss[li])
+            vs.append(v)
+            wts.append(wt)
+            if li < n_layers - 1:
+                u = wt * rep3(ms[li])
+                us.append(u)
+            else:
+                u = wt
+
+        # ---- reverse over the tangent chains (seed: -a_p on the trace) --
+        cu = u0 * rep3(-ap)                       # [3, 3R]
+        cx_tan = [None] * n_layers                # extra cot on x_l (l < L)
+        cs_tan = [None] * n_layers
+        dW_tan = [None] * n_layers
+        for li in range(n_layers - 1, -1, -1):
+            if li < n_layers - 1:
+                cw = cu * rep3(ms[li])
+                cm = sum3(cu * wts[li])
+                cx_tan[li] = cm * (-2.0 * xs[li + 1])
+            else:
+                cw = cu
+            cv = cw * rep3(ss[li])
+            cs_tan[li] = sum3(cw * vs[li])
+            dW_tan[li] = _dot_rr_f32(cv, us[li])
+            if li > 0:
+                w = w_refs[li * 9 + 1][...]       # [din, dout] = W^T
+                cu = _f32_dot(w, cv)
+
+        # ---- primal backprop (seed a at the output) ----------------------
+        dz = a
+        dhs = [None] * n_layers
+        dgs = [None] * n_layers
+        dbetas = [None] * n_layers
+        for li in range(n_layers - 1, -1, -1):
+            dhs[li] = dz * ss[li]
+            dgs[li] = (dz * hs[li] + cs_tan[li]) * ss[li] * (1.0 - ss[li])
+            dbetas[li] = dz
+            if li > 0:
+                w = w_refs[li * 9 + 1][...]       # [din, dout] = W^T
+                cx = _f32_dot(w, dhs[li]) + cx_tan[li - 1]
+                dz = cx * ms[li - 1]
+        dy_bar = _f32_dot(w_refs[1][...], dhs[0])          # dS/dy [3, R]
+
+        # ---- param/condition grads (G blocks in layer order) -------------
+        kgc = jnp.zeros((_CDIM, Rp), jnp.float32)
+        g_blocks = []
+        for li in range(n_layers):
+            din, dout = dims[li]
+            wgc = w_refs[li * 9 + 7][...]         # [cdim, dout]
+            wbc = w_refs[li * 9 + 8][...]
+            dW = _dot_rr_f32(dhs[li], xs[li]) + dW_tan[li]  # [dout, din]
+            dWgc = _dot_rr_f32(dgs[li], cT)                 # [dout, cdim]
+            dWbc = _dot_rr_f32(dbetas[li], cT)
+            db = _row_sum(dhs[li])
+            dg_sum = _row_sum(dgs[li])
+            dbeta_sum = _row_sum(dbetas[li])
+            blk = jnp.concatenate([
+                dW, jnp.zeros((dout, 64 - din), jnp.float32),
+                dWgc, dWbc, db, dg_sum * t, dg_sum, dbeta_sum * t,
+                jnp.zeros((dout, _G_COLS - 132), jnp.float32)], axis=1)
+            g_blocks.append(blk)
+            kgc = kgc + _f32_dot(wgc, dgs[li]) + _f32_dot(wbc, dbetas[li])
+        n_grows = sum(d[1] for d in dims)
+        g_blocks.append(jnp.zeros((_G_ROWS - n_grows, _G_COLS), jnp.float32))
+        kG = jnp.concatenate(g_blocks, axis=0)
+        # negate: dstate/dt = -dS/dtheta; mask padded lanes out of the
+        # dynamics so garbage lanes cannot poison the shared step size
+        return (f_out * lane_valid, -dy_bar * lane_valid,
+                -kgc * lane_valid, -kG)
+
+    # ---- initial state ----------------------------------------------------
+    s_ref[0:3, :] = s0_ref[0:3, :] * lane_valid
+    s_ref[3:6, :] = s0_ref[3:6, :] * lane_valid
+    s_ref[6:8, :] = jnp.zeros((2, Rp), jnp.float32)
+    gc_ref[...] = jnp.zeros_like(gc_ref)
+    g_ref[...] = jnp.zeros_like(g_ref)
+
+    dy0, da0, kgc0, kG0 = field(t1, s_ref[0:3, :], s_ref[3:6, :])
+    k_ref[0:3, :] = dy0
+    k_ref[3:6, :] = da0
+    kgc1_ref[...] = kgc0
+    kg1_ref[...] = kG0
+
+    n_params = sum(din * dout + 2 * _CDIM * dout + 4 * dout
+                   for din, dout in dims)
+
+    def err_ratio(edyn, y, y5, egc, gc0, gc1, eg, g0, g1):
+        def part(e, a, b):
+            tol = atol + rtol * jnp.maximum(jnp.abs(a), jnp.abs(b))
+            r = e / tol
+            return jnp.sum(r * r)
+
+        sums = (part(edyn * jnp.concatenate([lane_valid] * 6, axis=0),
+                     y, y5) + part(egc * lane_valid, gc0, gc1)
+                + part(eg, g0, g1))
+        count = 6.0 * n_valid + _CDIM * n_valid + float(n_params)
+        return jnp.sqrt(sums / count + 1e-24)
+
+    def body(carry):
+        t, h, done, n = carry
+        remaining = t0 - t
+        h_c = jnp.where(jnp.abs(h) > jnp.abs(remaining), remaining, h)
+        y = s_ref[0:3, :]
+        a = s_ref[3:6, :]
+        a5gc_ref[...] = kgc1_ref[...] * _B5[0]
+        a4gc_ref[...] = kgc1_ref[...] * _B4[0]
+        a5g_ref[...] = kg1_ref[...] * _B5[0]
+        a4g_ref[...] = kg1_ref[...] * _B4[0]
+        for i in range(1, 7):
+            accy = k_ref[0:3, :] * (_A[i][0] * h_c)
+            acca = k_ref[3:6, :] * (_A[i][0] * h_c)
+            for j in range(1, i):
+                accy = accy + k_ref[8 * j:8 * j + 3, :] * (_A[i][j] * h_c)
+                acca = acca + k_ref[8 * j + 3:8 * j + 6, :] * (_A[i][j] * h_c)
+            dy, da, kgc, kG = field(t + _C[i] * h_c, y + accy, a + acca)
+            k_ref[8 * i:8 * i + 3, :] = dy
+            k_ref[8 * i + 3:8 * i + 6, :] = da
+            a5gc_ref[...] = a5gc_ref[...] + kgc * _B5[i]
+            a4gc_ref[...] = a4gc_ref[...] + kgc * _B4[i]
+            a5g_ref[...] = a5g_ref[...] + kG * _B5[i]
+            a4g_ref[...] = a4g_ref[...] + kG * _B4[i]
+            if i == 6:
+                kgc1_next = kgc
+                kG1_next = kG
+        y5 = y
+        a5 = a
+        err_y = jnp.zeros_like(y)
+        err_a = jnp.zeros_like(a)
+        for j in range(7):
+            ky = k_ref[8 * j:8 * j + 3, :]
+            ka = k_ref[8 * j + 3:8 * j + 6, :]
+            if _B5[j] != 0.0:
+                y5 = y5 + (h_c * _B5[j]) * ky
+                a5 = a5 + (h_c * _B5[j]) * ka
+            err_y = err_y + (h_c * (_B5[j] - _B4[j])) * ky
+            err_a = err_a + (h_c * (_B5[j] - _B4[j])) * ka
+        gc0 = gc_ref[...]
+        gc1 = gc0 + h_c * a5gc_ref[...]
+        g0 = g_ref[...]
+        g1 = g0 + h_c * a5g_ref[...]
+        ratio = err_ratio(
+            jnp.concatenate([err_y, err_a], axis=0),
+            jnp.concatenate([y, a], axis=0),
+            jnp.concatenate([y5, a5], axis=0),
+            h_c * (a5gc_ref[...] - a4gc_ref[...]), gc0, gc1,
+            h_c * (a5g_ref[...] - a4g_ref[...]), g0, g1)
+        accept = ratio <= 1.0
+        safe_ratio = jnp.maximum(ratio, 1e-10)
+        pw = jnp.exp(jnp.log(safe_ratio) * (-1.0 / _ORDER))
+        factor = jnp.clip(_SAFETY * pw, _MIN_FACTOR, _MAX_FACTOR)
+        new_h = h_c * factor
+        new_h = jnp.where(jnp.abs(new_h) < 1e-12, h_c, new_h)
+        t_n = jnp.where(accept, t + h_c, t)
+
+        @pl.when(accept)
+        def _():
+            s_ref[0:3, :] = y5
+            s_ref[3:6, :] = a5
+            gc_ref[...] = gc1
+            g_ref[...] = g1
+            k_ref[0:3, :] = k_ref[48:51, :]            # FSAL
+            k_ref[3:6, :] = k_ref[51:54, :]
+            kgc1_ref[...] = kgc1_next
+            kg1_ref[...] = kG1_next
+
+        done_n = jnp.abs(t_n - t1) >= span - 1e-9
+        return t_n, new_h, done_n, n + 1
+
+    def cond(carry):
+        _, _, done, n = carry
+        return jnp.logical_not(done) & (n < max_steps)
+
+    h0 = direction * span / 16.0
+    jax.lax.while_loop(cond, body, (t1, h0, span <= 1e-12, jnp.int32(0)))
+
+    out_s_ref[0:3, :] = s_ref[0:3, :]
+    out_s_ref[3:6, :] = s_ref[3:6, :]
+    out_s_ref[6:8, :] = jnp.zeros((2, Rp), jnp.float32)
+    out_s_ref[8:8 + _CDIM, :] = gc_ref[...]
+
+    @pl.when(pid == 0)
+    def _():
+        out_g_ref[...] = jnp.zeros_like(out_g_ref)
+
+    out_g_ref[...] = out_g_ref[...] + g_ref[...]
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))
+def cnf_adjoint_bwd_pallas(layers, c, y1, a1, ap, t0, t1,
+                           rtol: float = 1e-5, atol: float = 1e-5,
+                           max_steps: int = 128, interpret: bool = False):
+    """Fused backward adjoint solve for one CNF block, t1 -> t0.
+
+    layers: list of CSL param dicts; c [B,N,cdim]; y1, a1 [B,N,3]
+    (final state / its cotangent); ap [B,N,1] (logp cotangent, constant
+    along the solve). Returns (y0, a0, dc, dlayers) — matching the XLA
+    `aug_field` integration in `make_adjoint_odeint.bwd` to solver
+    tolerance (the grid blocks adapt their step sizes independently).
+    """
+    B, N, _ = y1.shape
+    R = B * N
+    block_r = min(4096, max(128, (R + 127) // 128 * 128))
+    n_blocks = -(-R // block_r)
+    Rp = n_blocks * block_r
+
+    def pack(x, rows):
+        xT = x.reshape(R, rows).T
+        return jnp.pad(xT, ((0, 0), (0, Rp - R)))
+
+    s0 = jnp.concatenate([pack(y1, 3), pack(a1, 3), pack(ap, 1),
+                          jnp.zeros((1, Rp), jnp.float32)], axis=0)
+    cT = pack(c, c.shape[-1])
+    cf = c.reshape(R, -1)
+
+    dims = tuple((p["layer"]["w"].shape[0], p["layer"]["w"].shape[1])
+                 for p in layers)
+    weights = []
+    for p in layers:
+        wT = p["layer"]["w"].T
+        w = p["layer"]["w"]
+        gate_t = p["hyper_gate"]["w"][0][:, None]
+        bias_t = p["hyper_bias"]["w"][0][:, None]
+        gate_c = (cf @ p["hyper_gate"]["w"][1:] + p["hyper_gate"]["b"]).T
+        bias_c = (cf @ p["hyper_bias"]["w"][1:]).T
+        gate_c = jnp.pad(gate_c, ((0, 0), (0, Rp - R)))
+        bias_c = jnp.pad(bias_c, ((0, 0), (0, Rp - R)))
+        b = p["layer"]["b"][:, None]
+        wgc = p["hyper_gate"]["w"][1:]                    # [cdim, dout]
+        wbc = p["hyper_bias"]["w"][1:]
+        weights += [wT, w, gate_t, bias_t, gate_c, bias_c, b, wgc, wbc]
+
+    t0 = jnp.asarray(t0, jnp.float32).reshape(1)
+    t1 = jnp.asarray(t1, jnp.float32).reshape(1)
+
+    kernel = functools.partial(
+        _cnf_adjoint_kernel, n_layers=len(layers), n_total=R,
+        block_r=block_r, dims=dims, rtol=rtol, atol=atol,
+        max_steps=max_steps)
+
+    w_specs = []
+    for warr in weights:
+        if warr.shape[-1] == Rp:                          # gate_c / bias_c
+            w_specs.append(pl.BlockSpec(
+                (warr.shape[0], block_r), lambda b: (0, b)))
+        else:
+            w_specs.append(pl.BlockSpec(warr.shape, lambda b: (0, 0)))
+
+    out_s, out_g = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((8, block_r), lambda b: (0, b)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_CDIM, block_r), lambda b: (0, b)),
+        ] + w_specs,
+        out_specs=[
+            pl.BlockSpec((8 + _CDIM, block_r), lambda b: (0, b)),
+            pl.BlockSpec((_G_ROWS, _G_COLS), lambda b: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8 + _CDIM, Rp), jnp.float32),
+            jax.ShapeDtypeStruct((_G_ROWS, _G_COLS), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8, block_r), jnp.float32),        # s (y, a)
+            pltpu.VMEM((56, block_r), jnp.float32),       # k dyn (8 rows/st)
+            pltpu.VMEM((_CDIM, block_r), jnp.float32),    # gc
+            pltpu.VMEM((_CDIM, block_r), jnp.float32),    # acc5 gc
+            pltpu.VMEM((_CDIM, block_r), jnp.float32),    # acc4 gc
+            pltpu.VMEM((_CDIM, block_r), jnp.float32),    # kgc1 (FSAL)
+            pltpu.VMEM((_G_ROWS, _G_COLS), jnp.float32),  # G
+            pltpu.VMEM((_G_ROWS, _G_COLS), jnp.float32),  # acc5 G
+            pltpu.VMEM((_G_ROWS, _G_COLS), jnp.float32),  # acc4 G
+            pltpu.VMEM((_G_ROWS, _G_COLS), jnp.float32),  # kG1 (FSAL)
+        ],
+        interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(s0, t0, t1, cT, *weights)
+
+    y0 = out_s[0:3, :R].T.reshape(B, N, 3)
+    a0 = out_s[3:6, :R].T.reshape(B, N, 3)
+    dc = out_s[8:8 + _CDIM, :R].T.reshape(B, N, _CDIM)
+
+    dlayers = []
+    r0 = 0
+    for (din, dout), p in zip(dims, layers):
+        blk = out_g[r0:r0 + dout]
+        dW = blk[:, 0:din].T                              # [din, dout]
+        dWgc = blk[:, 64:64 + _CDIM].T                    # [cdim, dout]
+        dWbc = blk[:, 96:96 + _CDIM].T
+        db = blk[:, 128]
+        dgt = blk[:, 129]
+        dbgc = blk[:, 130]
+        dbt = blk[:, 131]
+        dlayers.append({
+            "layer": {"w": dW, "b": db},
+            "hyper_gate": {
+                "w": jnp.concatenate([dgt[None, :], dWgc], axis=0),
+                "b": dbgc},
+            "hyper_bias": {
+                "w": jnp.concatenate([dbt[None, :], dWbc], axis=0)},
+        })
+        r0 += dout
+    return y0, a0, dc, dlayers

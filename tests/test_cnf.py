@@ -213,6 +213,71 @@ def test_cnf_solve_kernel_matches_xla_solver():
         assert float(jnp.abs(ref - got).max()) < 5e-6
 
 
+def test_cnf_adjoint_bwd_kernel_matches_xla():
+    """The fused backward-adjoint kernel (interpret mode) matches the XLA
+    augmented-field integration from `make_adjoint_odeint.bwd` — hand-written
+    primal+tangent backprop vs `jax.vjp` of the exact-trace field.
+    Trajectories differ only through step-size control (the kernel's error
+    norm omits the logp/ap reconstruction rows), so parity is gated at
+    solver-tolerance scale, not bit-exactness."""
+    from puflow_tpu.models.continuous import odenet_apply, odenet_init
+    from puflow_tpu.models.ode import odeint_dopri5
+    from puflow_tpu.ops.pallas.cnf_adjoint_pallas import \
+        cnf_adjoint_bwd_pallas
+
+    layers = odenet_init(jax.random.PRNGKey(0), 3, 32)
+    B, N = 1, 60
+    c = jax.random.normal(jax.random.PRNGKey(1), (B, N, 32)) * 0.5
+    y1 = jax.random.normal(jax.random.PRNGKey(2), (B, N, 3)) * 0.5
+    a1 = jax.random.normal(jax.random.PRNGKey(3), (B, N, 3)) * 0.3
+    ap = jax.random.normal(jax.random.PRNGKey(4), (B, N, 1)) * 0.3
+    t0, t1 = 0.0, 0.47
+
+    # ---- XLA oracle: replicate make_adjoint_odeint.bwd ------------------
+    def func(p, t, state):
+        y, _ = state
+        lys, cc = p["layers"], p["c"]
+
+        def f_only(yy):
+            return odenet_apply(lys, t, cc, yy)
+
+        dy = f_only(y)
+        div = jnp.zeros(y.shape[:-1], dtype=y.dtype)
+        for i in range(3):
+            e = jnp.zeros_like(y).at[..., i].set(1.0)
+            _, je = jax.jvp(f_only, (y,), (e,))
+            div = div + je[..., i]
+        return dy, -div[..., None]
+
+    params = {"layers": layers, "c": c}
+
+    def aug_field(t, state):
+        y, a, _g = state
+        dy, vjp_fn = jax.vjp(lambda pp, yy: func(pp, t, yy), params, y)
+        p_bar, y_bar = vjp_fn(a)
+        return (dy, jax.tree.map(jnp.negative, y_bar),
+                jax.tree.map(jnp.negative, p_bar))
+
+    logp1 = jnp.zeros((B, N, 1))
+    g0 = jax.tree.map(jnp.zeros_like, params)
+    (y0_ref, _), (a0_ref, _), g_ref = odeint_dopri5(
+        aug_field, ((y1, logp1), (a1, ap), g0), t1, t0, 1e-5, 1e-5, 128,
+        differentiable=False)
+
+    # ---- kernel ----------------------------------------------------------
+    y0, a0, dc, dlayers = cnf_adjoint_bwd_pallas(
+        layers, c, y1, a1, ap, t0, t1, 1e-5, 1e-5, 128, True)
+
+    def maxrel(a, b):
+        return float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-8))
+
+    assert maxrel(y0, y0_ref) < 2e-3
+    assert maxrel(a0, a0_ref) < 2e-3
+    assert maxrel(dc, g_ref["c"]) < 2e-3
+    rels = jax.tree.map(maxrel, dlayers, g_ref["layers"])
+    assert max(jax.tree.leaves(rels)) < 2e-3, rels
+
+
 def test_cnf_solve_logp_kernel_matches_xla_solver():
     """The fused dopri5 kernel WITH the exact-trace log-density channel
     (the default forward solver inside the adjoint custom_vjp on TPU,
