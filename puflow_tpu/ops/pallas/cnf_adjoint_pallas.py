@@ -200,10 +200,12 @@ def _cnf_adjoint_kernel(s0_ref, t0_ref, t1_ref, c_ref, *refs,
             db = _row_sum(dhs[li])
             dg_sum = _row_sum(dgs[li])
             dbeta_sum = _row_sum(dbetas[li])
-            blk = jnp.concatenate([
-                dW, jnp.zeros((dout, 64 - din), jnp.float32),
-                dWgc, dWbc, db, dg_sum * t, dg_sum, dbeta_sum * t,
-                jnp.zeros((dout, _G_COLS - 132), jnp.float32)], axis=1)
+            pieces = [dW]
+            if din < 64:                  # zero-width pieces break Mosaic
+                pieces.append(jnp.zeros((dout, 64 - din), jnp.float32))
+            pieces += [dWgc, dWbc, db, dg_sum * t, dg_sum, dbeta_sum * t,
+                       jnp.zeros((dout, _G_COLS - 132), jnp.float32)]
+            blk = jnp.concatenate(pieces, axis=1)
             g_blocks.append(blk)
             kgc = kgc + _f32_dot(wgc, dgs[li]) + _f32_dot(wbc, dbetas[li])
         n_grows = sum(d[1] for d in dims)
@@ -331,10 +333,11 @@ def _cnf_adjoint_kernel(s0_ref, t0_ref, t1_ref, c_ref, *refs,
     out_g_ref[...] = out_g_ref[...] + g_ref[...]
 
 
-@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11))
 def cnf_adjoint_bwd_pallas(layers, c, y1, a1, ap, t0, t1,
                            rtol: float = 1e-5, atol: float = 1e-5,
-                           max_steps: int = 128, interpret: bool = False):
+                           max_steps: int = 128, interpret: bool = False,
+                           block_size: int | None = None):
     """Fused backward adjoint solve for one CNF block, t1 -> t0.
 
     layers: list of CSL param dicts; c [B,N,cdim]; y1, a1 [B,N,3]
@@ -345,7 +348,7 @@ def cnf_adjoint_bwd_pallas(layers, c, y1, a1, ap, t0, t1,
     """
     B, N, _ = y1.shape
     R = B * N
-    block_r = min(4096, max(128, (R + 127) // 128 * 128))
+    block_r = block_size or min(4096, max(128, (R + 127) // 128 * 128))
     n_blocks = -(-R // block_r)
     Rp = n_blocks * block_r
 

@@ -174,10 +174,11 @@ def _cnf_solve_kernel(y0_ref, t0_ref, t1_ref, *refs, n_layers: int,
 # through this kernel.
 # ---------------------------------------------------------------------------
 def _cnf_solve_logp_kernel(s0_ref, t0_ref, t1_ref, *refs, n_layers: int,
-                           n_valid: int, rtol: float, atol: float,
-                           max_steps: int):
+                           n_total: int, block_r: int, rtol: float,
+                           atol: float, max_steps: int):
     """State rows: 0-2 y, 3 logp. refs as in `_cnf_solve_kernel` plus
-    out/state/k scratch ([4, R] state, [28, R] k)."""
+    out/state/k scratch ([4, R] state, [28, R] k). Gridded along the row
+    axis (independent per-point ODEs; each block adapts its own h)."""
     w_refs = refs[:-3]
     out_ref, s_ref, k_ref = refs[-3:]
 
@@ -186,9 +187,11 @@ def _cnf_solve_logp_kernel(s0_ref, t0_ref, t1_ref, *refs, n_layers: int,
     span = jnp.abs(t1 - t0)
     direction = jnp.sign(t1 - t0)
 
-    Rp = s0_ref.shape[1]
-    lane_valid = (jax.lax.broadcasted_iota(jnp.int32, (1, Rp), 1)
-                  < n_valid).astype(jnp.float32)
+    Rp = block_r
+    lane_ids = (jax.lax.broadcasted_iota(jnp.int32, (1, Rp), 1)
+                + pl.program_id(0) * block_r)
+    lane_valid = (lane_ids < n_total).astype(jnp.float32)
+    n_valid = jnp.sum(lane_valid)
     # tangent basis: U0[c, i*Rp + r] = 1 if c == i (identity per basis
     # block along the 3R lanes)
     u_rows = jax.lax.broadcasted_iota(jnp.int32, (3, 3 * Rp), 0)
@@ -274,10 +277,11 @@ def _cnf_solve_logp_kernel(s0_ref, t0_ref, t1_ref, *refs, n_layers: int,
     out_ref[...] = s_ref[...]
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
 def cnf_solve_logp_pallas(layers, c, y, logp0, t0, t1,
                           rtol: float = 1e-5, atol: float = 1e-5,
-                          max_steps: int = 128, interpret: bool = False):
+                          max_steps: int = 128, interpret: bool = False,
+                          block_size: int | None = None):
     """Integrate the concatsquash field WITH the exact-trace log-density
     channel over one CNF block in a single fused kernel, t0 -> t1 (both
     traced scalars; t1 < t0 integrates in reverse).
@@ -289,7 +293,13 @@ def cnf_solve_logp_pallas(layers, c, y, logp0, t0, t1,
     """
     B, N, _ = y.shape
     R = B * N
-    Rp = (R + 127) // 128 * 128
+    # grid-chunk the row axis: the 3R-lane tangent temporaries cost
+    # ~25 MB each at R=32768 (206 MB total VMEM — hard compile failure on
+    # the v5e 128 MB budget); rows are independent ODEs, so each block
+    # runs its own adaptive loop on a VMEM-sized slice
+    block_r = block_size or min(8192, max(128, (R + 127) // 128 * 128))
+    n_blocks = -(-R // block_r)
+    Rp = n_blocks * block_r
 
     yT = y.reshape(R, 3).T                                  # [3, R]
     lT = logp0.reshape(R, 1).T                              # [1, R]
@@ -314,21 +324,26 @@ def cnf_solve_logp_pallas(layers, c, y, logp0, t0, t1,
     t1 = jnp.asarray(t1, jnp.float32).reshape(1)
 
     kernel = functools.partial(_cnf_solve_logp_kernel, n_layers=len(layers),
-                               n_valid=R, rtol=rtol, atol=atol,
-                               max_steps=max_steps)
-    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights]
+                               n_total=R, block_r=block_r, rtol=rtol,
+                               atol=atol, max_steps=max_steps)
+    w_specs = [
+        pl.BlockSpec((w.shape[0], block_r), lambda b: (0, b))
+        if w.shape[-1] == Rp else pl.BlockSpec(w.shape, lambda b: (0, 0))
+        for w in weights
+    ]
     out = pl.pallas_call(
         kernel,
+        grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, block_r), lambda b: (0, b)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ] + w_specs,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((4, block_r), lambda b: (0, b)),
         out_shape=jax.ShapeDtypeStruct((4, Rp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((4, Rp), jnp.float32),   # state
-            pltpu.VMEM((28, Rp), jnp.float32),  # k1..k7 (rows 4j..4j+3)
+            pltpu.VMEM((4, block_r), jnp.float32),   # state
+            pltpu.VMEM((28, block_r), jnp.float32),  # k1..k7 (rows 4j..4j+3)
         ],
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,

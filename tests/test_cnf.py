@@ -264,18 +264,19 @@ def test_cnf_adjoint_bwd_kernel_matches_xla():
         aug_field, ((y1, logp1), (a1, ap), g0), t1, t0, 1e-5, 1e-5, 128,
         differentiable=False)
 
-    # ---- kernel ----------------------------------------------------------
-    y0, a0, dc, dlayers = cnf_adjoint_bwd_pallas(
-        layers, c, y1, a1, ap, t0, t1, 1e-5, 1e-5, 128, True)
-
     def maxrel(a, b):
         return float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-8))
 
-    assert maxrel(y0, y0_ref) < 2e-3
-    assert maxrel(a0, a0_ref) < 2e-3
-    assert maxrel(dc, g_ref["c"]) < 2e-3
-    rels = jax.tree.map(maxrel, dlayers, g_ref["layers"])
-    assert max(jax.tree.leaves(rels)) < 2e-3, rels
+    # single-block and multi-block (block_size=128 -> ragged last block;
+    # exercises the cross-block G accumulation and lane masking)
+    for block in (None, 128):
+        y0, a0, dc, dlayers = cnf_adjoint_bwd_pallas(
+            layers, c, y1, a1, ap, t0, t1, 1e-5, 1e-5, 128, True, block)
+        assert maxrel(y0, y0_ref) < 2e-3, block
+        assert maxrel(a0, a0_ref) < 2e-3, block
+        assert maxrel(dc, g_ref["c"]) < 2e-3, block
+        rels = jax.tree.map(maxrel, dlayers, g_ref["layers"])
+        assert max(jax.tree.leaves(rels)) < 2e-3, (block, rels)
 
 
 def test_cnf_solve_logp_kernel_matches_xla_solver():
@@ -299,7 +300,11 @@ def test_cnf_solve_logp_kernel_matches_xla_solver():
         t0, t1 = (T, 0.0) if reverse else (0.0, T)
         ref_y, ref_lp = odeint_dopri5(fn, (y, logp0), t0, t1, 1e-5, 1e-5,
                                       differentiable=False)
-        got_y, got_lp = cnf_solve_logp_pallas(layers, c, y, logp0, t0, t1,
-                                              1e-5, 1e-5, 128, True)
-        assert float(jnp.abs(ref_y - got_y).max()) < 5e-6
-        assert float(jnp.abs(ref_lp - got_lp).max()) < 5e-6
+        # single-block and gridded (block_size=128: ragged last block —
+        # per-block adaptive h differs from the global-norm XLA solver
+        # only within solver tolerance)
+        for block, tol in ((None, 5e-6), (128, 5e-5)):
+            got_y, got_lp = cnf_solve_logp_pallas(
+                layers, c, y, logp0, t0, t1, 1e-5, 1e-5, 128, True, block)
+            assert float(jnp.abs(ref_y - got_y).max()) < tol, block
+            assert float(jnp.abs(ref_lp - got_lp).max()) < tol, block
