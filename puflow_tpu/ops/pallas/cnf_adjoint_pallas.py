@@ -25,11 +25,16 @@ Layout: transposed ([rows, R]); the 3 tangent chains batch on 3R lanes as
 in `_cnf_solve_logp_kernel`. Dynamic state (y, a) keeps the 7 RK stages in
 scratch; quadrature state (gc, G) never feeds back into the field, so only
 the B5/B4-weighted running sums are held (2 accumulators instead of 7 ks).
+The packed param-grad matrix G is written PIECEWISE into a scratch ref at
+lane offset 0 (Mosaic cannot lower lane-axis concatenation of pieces with
+mismatched sublane offsets — "result/input offset mismatch on non-concat
+dimension"); per-channel vector grads (db, dgate_t, ...) become [1, dout]
+rows via a ones-row MXU contraction so everything lands lane-aligned.
 The grid tiles R: each block solves its own adaptive loop (points are
 independent ODEs; the XLA path shares one h across the whole batch, so
 trajectories differ within solver tolerance — gradient parity is gated in
-tests), and the packed param-grad matrix G accumulates across blocks
-through the sequentially-revisited output.
+tests), and G accumulates across blocks through the sequentially-revisited
+output.
 """
 
 from __future__ import annotations
@@ -46,16 +51,20 @@ from puflow_tpu.ops.pallas.cnf_pallas import (_A, _B4, _B5, _C,
                                               _MIN_FACTOR, _ORDER, _SAFETY,
                                               _f32_dot)
 
-# packed param-grad matrix G: rows = layer-output channels stacked
-# (64 + 64 + 3 -> padded 136), cols = [dW 0:64 | dWgc 64:96 | dWbc 96:128 |
-# db 128 | dgate_t 129 | dbgc 130 | dbias_t 131] (padded to 256 lanes)
-_G_ROWS = 136
-_G_COLS = 256
 _CDIM = 32
+_G_COLS = 64
 
 
-def _row_sum(x):
-    return jnp.sum(x, axis=1, keepdims=True)                # [d, R] -> [d, 1]
+def _g_layout(dims):
+    """Row offsets of each layer's G block: per layer
+    [dW (dout rows, cols 0:din) | dWgc (dout rows, 0:cdim) |
+     dWbc (dout rows, 0:cdim) | db | dgate_t | dbgc | dbias_t (1 row each,
+     cols 0:dout)]."""
+    offs, r = [], 0
+    for _din, dout in dims:
+        offs.append(r)
+        r += 3 * dout + 4
+    return offs, r
 
 
 def _cnf_adjoint_kernel(s0_ref, t0_ref, t1_ref, c_ref, *refs,
@@ -64,12 +73,11 @@ def _cnf_adjoint_kernel(s0_ref, t0_ref, t1_ref, c_ref, *refs,
                         max_steps: int):
     """s0 rows: 0-2 y1, 3-5 a1, 6 a_p. refs: per-layer (wT [dout,din],
     w [din,dout], gate_t, bias_t, gate_c [dout,R], bias_c [dout,R], b,
-    wgc [cdim,dout], wbc [cdim,dout]) then out_s, out_G and scratch
-    (s_dyn [8,R], k_dyn [56,R], gc [cdim,R], acc5/acc4_gc, kgc1,
-    G [136,256], acc5/acc4_G, kG1)."""
+    wgc [cdim,dout], wbc [cdim,dout]) then out_s, out_G and scratch."""
     w_refs = refs[:9 * n_layers]
     (out_s_ref, out_g_ref, s_ref, k_ref, gc_ref, a5gc_ref, a4gc_ref,
-     kgc1_ref, g_ref, a5g_ref, a4g_ref, kg1_ref) = refs[9 * n_layers:]
+     kgc1_ref, g_ref, a5g_ref, a4g_ref, kg1_ref, kgtmp_ref) = \
+        refs[9 * n_layers:]
 
     t0 = t0_ref[0]
     t1 = t1_ref[0]
@@ -84,6 +92,8 @@ def _cnf_adjoint_kernel(s0_ref, t0_ref, t1_ref, c_ref, *refs,
 
     cT = c_ref[...]                                # [cdim, R]
     ap = s0_ref[6:7, :] * lane_valid               # constant logp adjoint
+    ones_row = jnp.ones((1, Rp), jnp.float32)
+    g_offs, _ = _g_layout(dims)
 
     def rep3(x):
         return pltpu.repeat(x, 3, 1)
@@ -99,7 +109,8 @@ def _cnf_adjoint_kernel(s0_ref, t0_ref, t1_ref, c_ref, *refs,
         """[da, R] x [db, R] contracting R -> [da, db] (grad outer sums)."""
         return jax.lax.dot_general(
             a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
 
     def _dot_rr_f32(a, b):
         a_hi = a.astype(jnp.bfloat16)
@@ -109,9 +120,9 @@ def _cnf_adjoint_kernel(s0_ref, t0_ref, t1_ref, c_ref, *refs,
         return (_dot_rr(a_hi, b_hi) + _dot_rr(a_hi, b_lo)
                 + _dot_rr(a_lo, b_hi))
 
-    def field(t, y, a):
-        """Augmented field eval. Returns (dy [3,R], da [3,R], kgc [cdim,R],
-        kG [G_ROWS, G_COLS]) = (f, -dS/dy, -dS/dc, -dS/dtheta)."""
+    def field(t, y, a, kg_ref):
+        """Augmented field eval. Returns (dy [3,R], da [3,R], kgc [cdim,R])
+        and writes -dS/dtheta into kg_ref (zeroed first)."""
         # ---- primal forward (store activations) -------------------------
         xs = [y]                                  # x_{l-1} per layer
         hs, ss, ms = [], [], []
@@ -187,34 +198,34 @@ def _cnf_adjoint_kernel(s0_ref, t0_ref, t1_ref, c_ref, *refs,
                 dz = cx * ms[li - 1]
         dy_bar = _f32_dot(w_refs[1][...], dhs[0])          # dS/dy [3, R]
 
-        # ---- param/condition grads (G blocks in layer order) -------------
+        # ---- param/condition grads -> kg_ref (all writes lane offset 0,
+        # negated: dG/dt = -dS/dtheta) --------------------------------------
+        kg_ref[...] = jnp.zeros_like(kg_ref)
         kgc = jnp.zeros((_CDIM, Rp), jnp.float32)
-        g_blocks = []
         for li in range(n_layers):
             din, dout = dims[li]
+            r0 = g_offs[li]
             wgc = w_refs[li * 9 + 7][...]         # [cdim, dout]
             wbc = w_refs[li * 9 + 8][...]
             dW = _dot_rr_f32(dhs[li], xs[li]) + dW_tan[li]  # [dout, din]
-            dWgc = _dot_rr_f32(dgs[li], cT)                 # [dout, cdim]
-            dWbc = _dot_rr_f32(dbetas[li], cT)
-            db = _row_sum(dhs[li])
-            dg_sum = _row_sum(dgs[li])
-            dbeta_sum = _row_sum(dbetas[li])
-            pieces = [dW]
-            if din < 64:                  # zero-width pieces break Mosaic
-                pieces.append(jnp.zeros((dout, 64 - din), jnp.float32))
-            pieces += [dWgc, dWbc, db, dg_sum * t, dg_sum, dbeta_sum * t,
-                       jnp.zeros((dout, _G_COLS - 132), jnp.float32)]
-            blk = jnp.concatenate(pieces, axis=1)
-            g_blocks.append(blk)
+            kg_ref[r0:r0 + dout, 0:din] = -dW
+            kg_ref[r0 + dout:r0 + 2 * dout, 0:_CDIM] = \
+                -_dot_rr_f32(dgs[li], cT)                   # dWgc
+            kg_ref[r0 + 2 * dout:r0 + 3 * dout, 0:_CDIM] = \
+                -_dot_rr_f32(dbetas[li], cT)                # dWbc
+            rv = r0 + 3 * dout
+            db_row = _dot_rr_f32(ones_row, dhs[li])         # [1, dout]
+            dg_row = _dot_rr_f32(ones_row, dgs[li])
+            dbeta_row = _dot_rr_f32(ones_row, dbetas[li])
+            kg_ref[rv:rv + 1, 0:dout] = -db_row
+            kg_ref[rv + 1:rv + 2, 0:dout] = -dg_row * t     # dgate_t
+            kg_ref[rv + 2:rv + 3, 0:dout] = -dg_row         # dbgc
+            kg_ref[rv + 3:rv + 4, 0:dout] = -dbeta_row * t  # dbias_t
             kgc = kgc + _f32_dot(wgc, dgs[li]) + _f32_dot(wbc, dbetas[li])
-        n_grows = sum(d[1] for d in dims)
-        g_blocks.append(jnp.zeros((_G_ROWS - n_grows, _G_COLS), jnp.float32))
-        kG = jnp.concatenate(g_blocks, axis=0)
-        # negate: dstate/dt = -dS/dtheta; mask padded lanes out of the
-        # dynamics so garbage lanes cannot poison the shared step size
+        # mask padded lanes out of the dynamics so garbage lanes cannot
+        # poison the shared step size
         return (f_out * lane_valid, -dy_bar * lane_valid,
-                -kgc * lane_valid, -kG)
+                -kgc * lane_valid)
 
     # ---- initial state ----------------------------------------------------
     s_ref[0:3, :] = s0_ref[0:3, :] * lane_valid
@@ -223,26 +234,21 @@ def _cnf_adjoint_kernel(s0_ref, t0_ref, t1_ref, c_ref, *refs,
     gc_ref[...] = jnp.zeros_like(gc_ref)
     g_ref[...] = jnp.zeros_like(g_ref)
 
-    dy0, da0, kgc0, kG0 = field(t1, s_ref[0:3, :], s_ref[3:6, :])
+    dy0, da0, kgc0 = field(t1, s_ref[0:3, :], s_ref[3:6, :], kgtmp_ref)
     k_ref[0:3, :] = dy0
     k_ref[3:6, :] = da0
     kgc1_ref[...] = kgc0
-    kg1_ref[...] = kG0
+    kg1_ref[...] = kgtmp_ref[...]
 
     n_params = sum(din * dout + 2 * _CDIM * dout + 4 * dout
                    for din, dout in dims)
 
-    def err_ratio(edyn, y, y5, egc, gc0, gc1, eg, g0, g1):
-        def part(e, a, b):
-            tol = atol + rtol * jnp.maximum(jnp.abs(a), jnp.abs(b))
-            r = e / tol
-            return jnp.sum(r * r)
-
-        sums = (part(edyn * jnp.concatenate([lane_valid] * 6, axis=0),
-                     y, y5) + part(egc * lane_valid, gc0, gc1)
-                + part(eg, g0, g1))
-        count = 6.0 * n_valid + _CDIM * n_valid + float(n_params)
-        return jnp.sqrt(sums / count + 1e-24)
+    def part(e, a, b, mask=None):
+        tol = atol + rtol * jnp.maximum(jnp.abs(a), jnp.abs(b))
+        r = e / tol
+        if mask is not None:
+            r = r * mask
+        return jnp.sum(r * r)
 
     def body(carry):
         t, h, done, n = carry
@@ -260,16 +266,16 @@ def _cnf_adjoint_kernel(s0_ref, t0_ref, t1_ref, c_ref, *refs,
             for j in range(1, i):
                 accy = accy + k_ref[8 * j:8 * j + 3, :] * (_A[i][j] * h_c)
                 acca = acca + k_ref[8 * j + 3:8 * j + 6, :] * (_A[i][j] * h_c)
-            dy, da, kgc, kG = field(t + _C[i] * h_c, y + accy, a + acca)
+            dy, da, kgc = field(t + _C[i] * h_c, y + accy, a + acca,
+                                kgtmp_ref)
             k_ref[8 * i:8 * i + 3, :] = dy
             k_ref[8 * i + 3:8 * i + 6, :] = da
             a5gc_ref[...] = a5gc_ref[...] + kgc * _B5[i]
             a4gc_ref[...] = a4gc_ref[...] + kgc * _B4[i]
-            a5g_ref[...] = a5g_ref[...] + kG * _B5[i]
-            a4g_ref[...] = a4g_ref[...] + kG * _B4[i]
-            if i == 6:
-                kgc1_next = kgc
-                kG1_next = kG
+            a5g_ref[...] = a5g_ref[...] + kgtmp_ref[...] * _B5[i]
+            a4g_ref[...] = a4g_ref[...] + kgtmp_ref[...] * _B4[i]
+        # after the loop: `kgc` and kgtmp_ref hold the stage-7 (FSAL)
+        # values — committed below only on accept
         y5 = y
         a5 = a
         err_y = jnp.zeros_like(y)
@@ -286,12 +292,13 @@ def _cnf_adjoint_kernel(s0_ref, t0_ref, t1_ref, c_ref, *refs,
         gc1 = gc0 + h_c * a5gc_ref[...]
         g0 = g_ref[...]
         g1 = g0 + h_c * a5g_ref[...]
-        ratio = err_ratio(
-            jnp.concatenate([err_y, err_a], axis=0),
-            jnp.concatenate([y, a], axis=0),
-            jnp.concatenate([y5, a5], axis=0),
-            h_c * (a5gc_ref[...] - a4gc_ref[...]), gc0, gc1,
-            h_c * (a5g_ref[...] - a4g_ref[...]), g0, g1)
+        sums = (part(err_y, y, y5, lane_valid)
+                + part(err_a, a, a5, lane_valid)
+                + part(h_c * (a5gc_ref[...] - a4gc_ref[...]), gc0, gc1,
+                       lane_valid)
+                + part(h_c * (a5g_ref[...] - a4g_ref[...]), g0, g1))
+        count = (6.0 + _CDIM) * n_valid + float(n_params)
+        ratio = jnp.sqrt(sums / count + 1e-24)
         accept = ratio <= 1.0
         safe_ratio = jnp.maximum(ratio, 1e-10)
         pw = jnp.exp(jnp.log(safe_ratio) * (-1.0 / _ORDER))
@@ -308,8 +315,8 @@ def _cnf_adjoint_kernel(s0_ref, t0_ref, t1_ref, c_ref, *refs,
             g_ref[...] = g1
             k_ref[0:3, :] = k_ref[48:51, :]            # FSAL
             k_ref[3:6, :] = k_ref[51:54, :]
-            kgc1_ref[...] = kgc1_next
-            kg1_ref[...] = kG1_next
+            kgc1_ref[...] = kgc                        # stage-7 values
+            kg1_ref[...] = kgtmp_ref[...]
 
         done_n = jnp.abs(t_n - t1) >= span - 1e-9
         return t_n, new_h, done_n, n + 1
@@ -363,6 +370,8 @@ def cnf_adjoint_bwd_pallas(layers, c, y1, a1, ap, t0, t1,
 
     dims = tuple((p["layer"]["w"].shape[0], p["layer"]["w"].shape[1])
                  for p in layers)
+    g_offs, g_rows = _g_layout(dims)
+    g_rows_pad = -(-g_rows // 8) * 8
     weights = []
     for p in layers:
         wT = p["layer"]["w"].T
@@ -394,6 +403,7 @@ def cnf_adjoint_bwd_pallas(layers, c, y1, a1, ap, t0, t1,
         else:
             w_specs.append(pl.BlockSpec(warr.shape, lambda b: (0, 0)))
 
+    gshape = (g_rows_pad, _G_COLS)
     out_s, out_g = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -405,11 +415,11 @@ def cnf_adjoint_bwd_pallas(layers, c, y1, a1, ap, t0, t1,
         ] + w_specs,
         out_specs=[
             pl.BlockSpec((8 + _CDIM, block_r), lambda b: (0, b)),
-            pl.BlockSpec((_G_ROWS, _G_COLS), lambda b: (0, 0)),
+            pl.BlockSpec(gshape, lambda b: (0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((8 + _CDIM, Rp), jnp.float32),
-            jax.ShapeDtypeStruct((_G_ROWS, _G_COLS), jnp.float32),
+            jax.ShapeDtypeStruct(gshape, jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((8, block_r), jnp.float32),        # s (y, a)
@@ -418,10 +428,11 @@ def cnf_adjoint_bwd_pallas(layers, c, y1, a1, ap, t0, t1,
             pltpu.VMEM((_CDIM, block_r), jnp.float32),    # acc5 gc
             pltpu.VMEM((_CDIM, block_r), jnp.float32),    # acc4 gc
             pltpu.VMEM((_CDIM, block_r), jnp.float32),    # kgc1 (FSAL)
-            pltpu.VMEM((_G_ROWS, _G_COLS), jnp.float32),  # G
-            pltpu.VMEM((_G_ROWS, _G_COLS), jnp.float32),  # acc5 G
-            pltpu.VMEM((_G_ROWS, _G_COLS), jnp.float32),  # acc4 G
-            pltpu.VMEM((_G_ROWS, _G_COLS), jnp.float32),  # kG1 (FSAL)
+            pltpu.VMEM(gshape, jnp.float32),              # G
+            pltpu.VMEM(gshape, jnp.float32),              # acc5 G
+            pltpu.VMEM(gshape, jnp.float32),              # acc4 G
+            pltpu.VMEM(gshape, jnp.float32),              # kG1 (FSAL)
+            pltpu.VMEM(gshape, jnp.float32),              # kG stage tmp
         ],
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
@@ -432,16 +443,15 @@ def cnf_adjoint_bwd_pallas(layers, c, y1, a1, ap, t0, t1,
     dc = out_s[8:8 + _CDIM, :R].T.reshape(B, N, _CDIM)
 
     dlayers = []
-    r0 = 0
-    for (din, dout), p in zip(dims, layers):
-        blk = out_g[r0:r0 + dout]
-        dW = blk[:, 0:din].T                              # [din, dout]
-        dWgc = blk[:, 64:64 + _CDIM].T                    # [cdim, dout]
-        dWbc = blk[:, 96:96 + _CDIM].T
-        db = blk[:, 128]
-        dgt = blk[:, 129]
-        dbgc = blk[:, 130]
-        dbt = blk[:, 131]
+    for (din, dout), r0, p in zip(dims, g_offs, layers):
+        dW = out_g[r0:r0 + dout, 0:din].T                 # [din, dout]
+        dWgc = out_g[r0 + dout:r0 + 2 * dout, 0:_CDIM].T  # [cdim, dout]
+        dWbc = out_g[r0 + 2 * dout:r0 + 3 * dout, 0:_CDIM].T
+        rv = r0 + 3 * dout
+        db = out_g[rv, 0:dout]
+        dgt = out_g[rv + 1, 0:dout]
+        dbgc = out_g[rv + 2, 0:dout]
+        dbt = out_g[rv + 3, 0:dout]
         dlayers.append({
             "layer": {"w": dW, "b": db},
             "hyper_gate": {
@@ -450,5 +460,4 @@ def cnf_adjoint_bwd_pallas(layers, c, y1, a1, ap, t0, t1,
             "hyper_bias": {
                 "w": jnp.concatenate([dbt[None, :], dWbc], axis=0)},
         })
-        r0 += dout
     return y0, a0, dc, dlayers
