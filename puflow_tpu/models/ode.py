@@ -221,16 +221,23 @@ def make_adjoint_odeint(func, rtol: float = 1e-5, atol: float = 1e-5,
         params, y1, t0, t1 = res
         t0 = jnp.asarray(t0, jnp.float32)
         t1 = jnp.asarray(t1, jnp.float32)
-        f1 = func(params, t1, y1)
-        t1_bar = _tree_vdot(y1_bar, f1)
 
         if bwd_solver is not None:
             fused = bwd_solver(params, y1, y1_bar, t0, t1)
             if fused is not None:
+                if len(fused) == 5:
+                    # solver supplied the boundary fields too — no
+                    # launch-bound XLA func() evals needed here
+                    y0_rec, a0, g_total, t0_bar, t1_bar = fused
+                    return g_total, a0, t0_bar, t1_bar
                 y0_rec, a0, g_total = fused
+                t1_bar = _tree_vdot(y1_bar, func(params, t1, y1))
                 f0 = func(params, t0, y0_rec)
                 t0_bar = -_tree_vdot(a0, f0)
                 return g_total, a0, t0_bar, t1_bar
+
+        f1 = func(params, t1, y1)
+        t1_bar = _tree_vdot(y1_bar, f1)
 
         def aug_field(t, state):
             y, a, _g = state

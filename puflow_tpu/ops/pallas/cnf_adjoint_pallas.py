@@ -70,13 +70,13 @@ def _g_layout(dims):
 def _cnf_adjoint_kernel(s0_ref, t0_ref, t1_ref, c_ref, *refs,
                         n_layers: int, n_total: int, block_r: int,
                         dims: tuple, rtol: float, atol: float,
-                        max_steps: int):
+                        max_steps: int, with_trace: bool = True):
     """s0 rows: 0-2 y1, 3-5 a1, 6 a_p. refs: per-layer (wT [dout,din],
     w [din,dout], gate_t, bias_t, gate_c [dout,R], bias_c [dout,R], b,
     wgc [cdim,dout], wbc [cdim,dout]) then out_s, out_G and scratch."""
     w_refs = refs[:9 * n_layers]
-    (out_s_ref, out_g_ref, s_ref, k_ref, gc_ref, a5gc_ref, a4gc_ref,
-     kgc1_ref, g_ref, a5g_ref, a4g_ref, kg1_ref, kgtmp_ref) = \
+    (out_s_ref, out_g_ref, out_b_ref, s_ref, k_ref, gc_ref, a5gc_ref,
+     a4gc_ref, kgc1_ref, g_ref, a5g_ref, a4g_ref, kg1_ref, kgtmp_ref) = \
         refs[9 * n_layers:]
 
     t0 = t0_ref[0]
@@ -101,9 +101,10 @@ def _cnf_adjoint_kernel(s0_ref, t0_ref, t1_ref, c_ref, *refs,
     def sum3(x):
         return (x[:, 0:Rp] + x[:, Rp:2 * Rp] + x[:, 2 * Rp:3 * Rp])
 
-    u_rows = jax.lax.broadcasted_iota(jnp.int32, (3, 3 * Rp), 0)
-    u_cols = jax.lax.broadcasted_iota(jnp.int32, (3, 3 * Rp), 1)
-    u0 = (u_rows == u_cols // Rp).astype(jnp.float32)
+    if with_trace:
+        u_rows = jax.lax.broadcasted_iota(jnp.int32, (3, 3 * Rp), 0)
+        u_cols = jax.lax.broadcasted_iota(jnp.int32, (3, 3 * Rp), 1)
+        u0 = (u_rows == u_cols // Rp).astype(jnp.float32)
 
     def _dot_rr(a, b):
         """[da, R] x [db, R] contracting R -> [da, db] (grad outer sums)."""
@@ -120,9 +121,13 @@ def _cnf_adjoint_kernel(s0_ref, t0_ref, t1_ref, c_ref, *refs,
         return (_dot_rr(a_hi, b_hi) + _dot_rr(a_hi, b_lo)
                 + _dot_rr(a_lo, b_hi))
 
-    def field(t, y, a, kg_ref):
-        """Augmented field eval. Returns (dy [3,R], da [3,R], kgc [cdim,R])
-        and writes -dS/dtheta into kg_ref (zeroed first)."""
+    def field(t, y, a, kg_ref, light: bool = False):
+        """Augmented field eval. Returns (dy [3,R], da [3,R],
+        kgc [cdim,R], div [1,R]) and writes -dS/dtheta into kg_ref
+        (zeroed first). With ``with_trace=False`` (structurally-zero logp
+        cotangent — the g-path inverse discards its log-density) the
+        tangent chains, trace reverse and div are skipped entirely:
+        ~60% less work per eval."""
         # ---- primal forward (store activations) -------------------------
         xs = [y]                                  # x_{l-1} per layer
         hs, ss, ms = [], [], []
@@ -148,40 +153,53 @@ def _cnf_adjoint_kernel(s0_ref, t0_ref, t1_ref, c_ref, *refs,
                 dx = z
         f_out = dx
 
-        # ---- tangent chains (3 basis vectors on 3R lanes) ---------------
-        u = u0
-        us = [u]                                  # u_{l-1} per layer
-        vs, wts = [], []
-        for li in range(n_layers):
-            wT = w_refs[li * 9][...]
-            v = _f32_dot(wT, u)
-            wt = v * rep3(ss[li])
-            vs.append(v)
-            wts.append(wt)
-            if li < n_layers - 1:
-                u = wt * rep3(ms[li])
-                us.append(u)
-            else:
-                u = wt
+        if with_trace:
+            # ---- tangent chains (3 basis vectors on 3R lanes) -----------
+            u = u0
+            us = [u]                              # u_{l-1} per layer
+            vs, wts = [], []
+            for li in range(n_layers):
+                wT = w_refs[li * 9][...]
+                v = _f32_dot(wT, u)
+                wt = v * rep3(ss[li])
+                vs.append(v)
+                wts.append(wt)
+                if li < n_layers - 1:
+                    u = wt * rep3(ms[li])
+                    us.append(u)
+                else:
+                    u = wt
+            div = (u[0:1, 0:Rp] + u[1:2, Rp:2 * Rp]
+                   + u[2:3, 2 * Rp:3 * Rp])       # [1, R] exact trace
+            if light:                 # boundary eval: f + div only
+                return (f_out * lane_valid, jnp.zeros((3, Rp), jnp.float32),
+                        jnp.zeros((_CDIM, Rp), jnp.float32),
+                        div * lane_valid)
 
-        # ---- reverse over the tangent chains (seed: -a_p on the trace) --
-        cu = u0 * rep3(-ap)                       # [3, 3R]
-        cx_tan = [None] * n_layers                # extra cot on x_l (l < L)
-        cs_tan = [None] * n_layers
-        dW_tan = [None] * n_layers
-        for li in range(n_layers - 1, -1, -1):
-            if li < n_layers - 1:
-                cw = cu * rep3(ms[li])
-                cm = sum3(cu * wts[li])
-                cx_tan[li] = cm * (-2.0 * xs[li + 1])
-            else:
-                cw = cu
-            cv = cw * rep3(ss[li])
-            cs_tan[li] = sum3(cw * vs[li])
-            dW_tan[li] = _dot_rr_f32(cv, us[li])
-            if li > 0:
-                w = w_refs[li * 9 + 1][...]       # [din, dout] = W^T
-                cu = _f32_dot(w, cv)
+            # ---- reverse over the tangent chains (seed: -a_p) -----------
+            cu = u0 * rep3(-ap)                   # [3, 3R]
+            cx_tan = [None] * n_layers            # extra cot on x_l (l < L)
+            cs_tan = [None] * n_layers
+            dW_tan = [None] * n_layers
+            for li in range(n_layers - 1, -1, -1):
+                if li < n_layers - 1:
+                    cw = cu * rep3(ms[li])
+                    cm = sum3(cu * wts[li])
+                    cx_tan[li] = cm * (-2.0 * xs[li + 1])
+                else:
+                    cw = cu
+                cv = cw * rep3(ss[li])
+                cs_tan[li] = sum3(cw * vs[li])
+                dW_tan[li] = _dot_rr_f32(cv, us[li])
+                if li > 0:
+                    w = w_refs[li * 9 + 1][...]   # [din, dout] = W^T
+                    cu = _f32_dot(w, cv)
+        else:
+            div = jnp.zeros((1, Rp), jnp.float32)
+            cx_tan = cs_tan = dW_tan = None
+            if light:                 # boundary eval: f only
+                return (f_out * lane_valid, jnp.zeros((3, Rp), jnp.float32),
+                        jnp.zeros((_CDIM, Rp), jnp.float32), div)
 
         # ---- primal backprop (seed a at the output) ----------------------
         dz = a
@@ -190,11 +208,16 @@ def _cnf_adjoint_kernel(s0_ref, t0_ref, t1_ref, c_ref, *refs,
         dbetas = [None] * n_layers
         for li in range(n_layers - 1, -1, -1):
             dhs[li] = dz * ss[li]
-            dgs[li] = (dz * hs[li] + cs_tan[li]) * ss[li] * (1.0 - ss[li])
+            dg = dz * hs[li]
+            if with_trace:
+                dg = dg + cs_tan[li]
+            dgs[li] = dg * ss[li] * (1.0 - ss[li])
             dbetas[li] = dz
             if li > 0:
                 w = w_refs[li * 9 + 1][...]       # [din, dout] = W^T
-                cx = _f32_dot(w, dhs[li]) + cx_tan[li - 1]
+                cx = _f32_dot(w, dhs[li])
+                if with_trace:
+                    cx = cx + cx_tan[li - 1]
                 dz = cx * ms[li - 1]
         dy_bar = _f32_dot(w_refs[1][...], dhs[0])          # dS/dy [3, R]
 
@@ -207,7 +230,9 @@ def _cnf_adjoint_kernel(s0_ref, t0_ref, t1_ref, c_ref, *refs,
             r0 = g_offs[li]
             wgc = w_refs[li * 9 + 7][...]         # [cdim, dout]
             wbc = w_refs[li * 9 + 8][...]
-            dW = _dot_rr_f32(dhs[li], xs[li]) + dW_tan[li]  # [dout, din]
+            dW = _dot_rr_f32(dhs[li], xs[li])               # [dout, din]
+            if with_trace:
+                dW = dW + dW_tan[li]
             kg_ref[r0:r0 + dout, 0:din] = -dW
             kg_ref[r0 + dout:r0 + 2 * dout, 0:_CDIM] = \
                 -_dot_rr_f32(dgs[li], cT)                   # dWgc
@@ -225,7 +250,7 @@ def _cnf_adjoint_kernel(s0_ref, t0_ref, t1_ref, c_ref, *refs,
         # mask padded lanes out of the dynamics so garbage lanes cannot
         # poison the shared step size
         return (f_out * lane_valid, -dy_bar * lane_valid,
-                -kgc * lane_valid)
+                -kgc * lane_valid, div * lane_valid)
 
     # ---- initial state ----------------------------------------------------
     s_ref[0:3, :] = s0_ref[0:3, :] * lane_valid
@@ -234,11 +259,16 @@ def _cnf_adjoint_kernel(s0_ref, t0_ref, t1_ref, c_ref, *refs,
     gc_ref[...] = jnp.zeros_like(gc_ref)
     g_ref[...] = jnp.zeros_like(g_ref)
 
-    dy0, da0, kgc0 = field(t1, s_ref[0:3, :], s_ref[3:6, :], kgtmp_ref)
+    dy0, da0, kgc0, div1 = field(t1, s_ref[0:3, :], s_ref[3:6, :],
+                                 kgtmp_ref)
     k_ref[0:3, :] = dy0
     k_ref[3:6, :] = da0
     kgc1_ref[...] = kgc0
     kg1_ref[...] = kgtmp_ref[...]
+    # boundary fields for the t1/t0 cotangents (computed here so the host
+    # never re-evaluates the exact-trace field in launch-bound XLA)
+    out_b_ref[0:3, :] = dy0
+    out_b_ref[3:4, :] = div1
 
     n_params = sum(din * dout + 2 * _CDIM * dout + 4 * dout
                    for din, dout in dims)
@@ -266,8 +296,8 @@ def _cnf_adjoint_kernel(s0_ref, t0_ref, t1_ref, c_ref, *refs,
             for j in range(1, i):
                 accy = accy + k_ref[8 * j:8 * j + 3, :] * (_A[i][j] * h_c)
                 acca = acca + k_ref[8 * j + 3:8 * j + 6, :] * (_A[i][j] * h_c)
-            dy, da, kgc = field(t + _C[i] * h_c, y + accy, a + acca,
-                                kgtmp_ref)
+            dy, da, kgc, _ = field(t + _C[i] * h_c, y + accy, a + acca,
+                                   kgtmp_ref)
             k_ref[8 * i:8 * i + 3, :] = dy
             k_ref[8 * i + 3:8 * i + 6, :] = da
             a5gc_ref[...] = a5gc_ref[...] + kgc * _B5[i]
@@ -332,6 +362,10 @@ def _cnf_adjoint_kernel(s0_ref, t0_ref, t1_ref, c_ref, *refs,
     out_s_ref[3:6, :] = s_ref[3:6, :]
     out_s_ref[6:8, :] = jnp.zeros((2, Rp), jnp.float32)
     out_s_ref[8:8 + _CDIM, :] = gc_ref[...]
+    f0_v, _, _, div0 = field(t0, s_ref[0:3, :], s_ref[3:6, :], kgtmp_ref,
+                             light=True)
+    out_b_ref[4:7, :] = f0_v
+    out_b_ref[7:8, :] = div0
 
     @pl.when(pid == 0)
     def _():
@@ -340,22 +374,28 @@ def _cnf_adjoint_kernel(s0_ref, t0_ref, t1_ref, c_ref, *refs,
     out_g_ref[...] = out_g_ref[...] + g_ref[...]
 
 
-@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11))
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12))
 def cnf_adjoint_bwd_pallas(layers, c, y1, a1, ap, t0, t1,
                            rtol: float = 1e-5, atol: float = 1e-5,
                            max_steps: int = 128, interpret: bool = False,
-                           block_size: int | None = None):
+                           block_size: int | None = None,
+                           with_trace: bool = True):
     """Fused backward adjoint solve for one CNF block, t1 -> t0.
 
     layers: list of CSL param dicts; c [B,N,cdim]; y1, a1 [B,N,3]
     (final state / its cotangent); ap [B,N,1] (logp cotangent, constant
-    along the solve). Returns (y0, a0, dc, dlayers) — matching the XLA
-    `aug_field` integration in `make_adjoint_odeint.bwd` to solver
+    along the solve). Returns (y0, a0, dc, dlayers, bnd) — matching the
+    XLA `aug_field` integration in `make_adjoint_odeint.bwd` to solver
     tolerance (the grid blocks adapt their step sizes independently).
+    ``bnd`` = (f1, div1, f0, div0) boundary fields for the t0/t1
+    cotangents (div rows are zero when ``with_trace=False`` — the
+    logp-free augmented system for cotangents with no log-density term,
+    ~60% cheaper per field eval).
     """
     B, N, _ = y1.shape
     R = B * N
-    block_r = block_size or min(4096, max(128, (R + 127) // 128 * 128))
+    block_r = block_size or min(8192 if not with_trace else 4096,
+                                max(128, (R + 127) // 128 * 128))
     n_blocks = -(-R // block_r)
     Rp = n_blocks * block_r
 
@@ -393,7 +433,7 @@ def cnf_adjoint_bwd_pallas(layers, c, y1, a1, ap, t0, t1,
     kernel = functools.partial(
         _cnf_adjoint_kernel, n_layers=len(layers), n_total=R,
         block_r=block_r, dims=dims, rtol=rtol, atol=atol,
-        max_steps=max_steps)
+        max_steps=max_steps, with_trace=with_trace)
 
     w_specs = []
     for warr in weights:
@@ -404,7 +444,7 @@ def cnf_adjoint_bwd_pallas(layers, c, y1, a1, ap, t0, t1,
             w_specs.append(pl.BlockSpec(warr.shape, lambda b: (0, 0)))
 
     gshape = (g_rows_pad, _G_COLS)
-    out_s, out_g = pl.pallas_call(
+    out_s, out_g, out_b = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
@@ -416,10 +456,12 @@ def cnf_adjoint_bwd_pallas(layers, c, y1, a1, ap, t0, t1,
         out_specs=[
             pl.BlockSpec((8 + _CDIM, block_r), lambda b: (0, b)),
             pl.BlockSpec(gshape, lambda b: (0, 0)),
+            pl.BlockSpec((8, block_r), lambda b: (0, b)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((8 + _CDIM, Rp), jnp.float32),
             jax.ShapeDtypeStruct(gshape, jnp.float32),
+            jax.ShapeDtypeStruct((8, Rp), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((8, block_r), jnp.float32),        # s (y, a)
@@ -441,6 +483,10 @@ def cnf_adjoint_bwd_pallas(layers, c, y1, a1, ap, t0, t1,
     y0 = out_s[0:3, :R].T.reshape(B, N, 3)
     a0 = out_s[3:6, :R].T.reshape(B, N, 3)
     dc = out_s[8:8 + _CDIM, :R].T.reshape(B, N, _CDIM)
+    bnd = (out_b[0:3, :R].T.reshape(B, N, 3),
+           out_b[3:4, :R].T.reshape(B, N, 1),
+           out_b[4:7, :R].T.reshape(B, N, 3),
+           out_b[7:8, :R].T.reshape(B, N, 1))
 
     dlayers = []
     for (din, dout), r0, p in zip(dims, g_offs, layers):
@@ -460,4 +506,4 @@ def cnf_adjoint_bwd_pallas(layers, c, y1, a1, ap, t0, t1,
             "hyper_bias": {
                 "w": jnp.concatenate([dbt[None, :], dWbc], axis=0)},
         })
-    return y0, a0, dc, dlayers
+    return y0, a0, dc, dlayers, bnd

@@ -363,6 +363,17 @@ def cnf_solve_pallas(layers, c, y, T, reverse: bool = False,
 
     `T` is traced (the trainable end time); reverse integrates T -> 0.
     """
+    T = jnp.asarray(T, jnp.float32)
+    t0, t1 = (T, jnp.zeros(())) if reverse else (jnp.zeros(()), T)
+    return cnf_solve_pallas_t(layers, c, y, t0, t1, rtol, atol, interpret)
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def cnf_solve_pallas_t(layers, c, y, t0, t1,
+                       rtol: float = 1e-5, atol: float = 1e-5,
+                       interpret: bool = False):
+    """`cnf_solve_pallas` with explicit (traced) integration bounds —
+    the entry point the plain (no-logp) adjoint's fwd_solver uses."""
     B, N, _ = y.shape
     R = B * N
     Rp = (R + 127) // 128 * 128
@@ -385,8 +396,8 @@ def cnf_solve_pallas(layers, c, y, T, reverse: bool = False,
         b = p["layer"]["b"][:, None]                        # [dout, 1]
         weights += [wT, gate_t, bias_t, gate_c, bias_c, b]
 
-    T = jnp.asarray(T, jnp.float32)[None]
-    t0, t1 = (T, jnp.zeros((1,))) if reverse else (jnp.zeros((1,)), T)
+    t0 = jnp.asarray(t0, jnp.float32).reshape(1)
+    t1 = jnp.asarray(t1, jnp.float32).reshape(1)
 
     kernel = functools.partial(_cnf_solve_kernel, n_layers=len(layers),
                                n_valid=R, rtol=rtol, atol=atol,

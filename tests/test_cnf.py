@@ -270,13 +270,98 @@ def test_cnf_adjoint_bwd_kernel_matches_xla():
     # single-block and multi-block (block_size=128 -> ragged last block;
     # exercises the cross-block G accumulation and lane masking)
     for block in (None, 128):
-        y0, a0, dc, dlayers = cnf_adjoint_bwd_pallas(
+        y0, a0, dc, dlayers, bnd = cnf_adjoint_bwd_pallas(
             layers, c, y1, a1, ap, t0, t1, 1e-5, 1e-5, 128, True, block)
         assert maxrel(y0, y0_ref) < 2e-3, block
         assert maxrel(a0, a0_ref) < 2e-3, block
         assert maxrel(dc, g_ref["c"]) < 2e-3, block
         rels = jax.tree.map(maxrel, dlayers, g_ref["layers"])
         assert max(jax.tree.leaves(rels)) < 2e-3, (block, rels)
+        # boundary fields: f(t1, y1) and its exact trace
+        f1, div1, f0, div0 = bnd
+        dy1, ndiv1 = func(params, t1, (y1, logp1))
+        assert maxrel(f1, dy1) < 5e-5, block
+        assert maxrel(div1, -ndiv1) < 5e-5, block   # 3-pass bf16 rounding
+        dy0, ndiv0 = func(params, t0, (y0, logp1))
+        assert maxrel(f0, dy0) < 2e-3, block
+        assert maxrel(div0, -ndiv0) < 2e-3, block
+
+
+def test_cnf_adjoint_bwd_kernel_no_trace():
+    """`with_trace=False` (the g-path: logp cotangent structurally zero)
+    matches the XLA plain-field augmented integration."""
+    from puflow_tpu.models.continuous import odenet_apply, odenet_init
+    from puflow_tpu.models.ode import odeint_dopri5
+    from puflow_tpu.ops.pallas.cnf_adjoint_pallas import \
+        cnf_adjoint_bwd_pallas
+
+    layers = odenet_init(jax.random.PRNGKey(0), 3, 32)
+    B, N = 1, 60
+    c = jax.random.normal(jax.random.PRNGKey(1), (B, N, 32)) * 0.5
+    y1 = jax.random.normal(jax.random.PRNGKey(2), (B, N, 3)) * 0.5
+    a1 = jax.random.normal(jax.random.PRNGKey(3), (B, N, 3)) * 0.3
+    t0, t1 = 0.0, 0.47
+
+    params = {"layers": layers, "c": c}
+
+    def func(p, t, yv):
+        return odenet_apply(p["layers"], t, p["c"], yv)
+
+    def aug_field(t, state):
+        y, a, _g = state
+        dy, vjp_fn = jax.vjp(lambda pp, yy: func(pp, t, yy), params, y)
+        p_bar, y_bar = vjp_fn(a)
+        return (dy, jax.tree.map(jnp.negative, y_bar),
+                jax.tree.map(jnp.negative, p_bar))
+
+    g0 = jax.tree.map(jnp.zeros_like, params)
+    y0_ref, a0_ref, g_ref = odeint_dopri5(
+        aug_field, (y1, a1, g0), t1, t0, 1e-5, 1e-5, 128,
+        differentiable=False)
+
+    ap = jnp.zeros((B, N, 1))
+    y0, a0, dc, dlayers, bnd = cnf_adjoint_bwd_pallas(
+        layers, c, y1, a1, ap, t0, t1, 1e-5, 1e-5, 128, True, None, False)
+
+    def maxrel(a, b):
+        return float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-8))
+
+    assert maxrel(y0, y0_ref) < 2e-3
+    assert maxrel(a0, a0_ref) < 2e-3
+    assert maxrel(dc, g_ref["c"]) < 2e-3
+    rels = jax.tree.map(maxrel, dlayers, g_ref["layers"])
+    assert max(jax.tree.leaves(rels)) < 2e-3, rels
+
+
+def test_plain_adjoint_inverse_grads_match_scan():
+    """g-path gradients through the plain-field adjoint (round 5: the
+    inverse discards logp, so its differentiable solve drops the
+    divergence channel) == differentiating through the scan solver."""
+    from puflow_tpu.models.continuous import field_plain_csl
+
+    params, _ = continuous.init(KEY)
+    block = params["flow_blocks"][0]
+    z = jax.random.normal(jax.random.PRNGKey(5), (1, 8, 3)) * 0.4
+    c = jax.random.normal(jax.random.PRNGKey(6), (1, 8, 32)) * 0.4
+
+    def loss_adj(blk):
+        x = continuous.flow_block_inverse(blk, z, c, differentiable=True)
+        return jnp.sum(x ** 2)
+
+    def loss_scan(blk):
+        T = blk["sqrt_end_time"] ** 2
+        fn = field_plain_csl(blk["layers"], c)
+        x = odeint_dopri5(fn, z, T, 0.0, 1e-5, 1e-5, 128,
+                          differentiable=True)
+        return jnp.sum(x ** 2)
+
+    va, ga = jax.value_and_grad(loss_adj)(block)
+    vs, gs = jax.value_and_grad(loss_scan)(block)
+    assert abs(float(va) - float(vs)) < 1e-4
+    rel = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-8)),
+        ga, gs)
+    assert max(jax.tree.leaves(rel)) < 2e-2
 
 
 def test_cnf_solve_logp_kernel_matches_xla_solver():
