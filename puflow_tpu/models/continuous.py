@@ -363,8 +363,6 @@ def _adjoint_for(layer_type: str, nonlinearity: str):
             layers = p["layers"]
             if isinstance(layers, dict):   # shared-beta zoo variant
                 return None                # XLA fallback
-            if p["c"].shape[-1] != 32:     # kernel packing assumes cdim 32
-                return None
             y, logp1 = y1
             a_y, a_p = y1_bar
             y0, a0, dc, dlayers, bnd = cnf_adjoint_bwd_pallas(
@@ -417,7 +415,7 @@ def _adjoint_plain_for(layer_type: str, nonlinearity: str):
 
         def bwd_solver(p, y1, y1_bar, t0, t1):
             layers = p["layers"]
-            if isinstance(layers, dict) or p["c"].shape[-1] != 32:
+            if isinstance(layers, dict):
                 return None                # XLA fallback
             ap = jnp.zeros(y1.shape[:-1] + (1,), dtype=y1.dtype)
             y0, a0, dc, dlayers, bnd = cnf_adjoint_bwd_pallas(

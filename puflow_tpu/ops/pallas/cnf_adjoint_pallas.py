@@ -51,10 +51,6 @@ from puflow_tpu.ops.pallas.cnf_pallas import (_A, _B4, _B5, _C,
                                               _MIN_FACTOR, _ORDER, _SAFETY,
                                               _f32_dot)
 
-_CDIM = 32
-_G_COLS = 64
-
-
 def _g_layout(dims):
     """Row offsets of each layer's G block: per layer
     [dW (dout rows, cols 0:din) | dWgc (dout rows, 0:cdim) |
@@ -69,7 +65,7 @@ def _g_layout(dims):
 
 def _cnf_adjoint_kernel(s0_ref, t0_ref, t1_ref, c_ref, *refs,
                         n_layers: int, n_total: int, block_r: int,
-                        dims: tuple, rtol: float, atol: float,
+                        dims: tuple, cdim: int, rtol: float, atol: float,
                         max_steps: int, with_trace: bool = True):
     """s0 rows: 0-2 y1, 3-5 a1, 6 a_p. refs: per-layer (wT [dout,din],
     w [din,dout], gate_t, bias_t, gate_c [dout,R], bias_c [dout,R], b,
@@ -173,7 +169,7 @@ def _cnf_adjoint_kernel(s0_ref, t0_ref, t1_ref, c_ref, *refs,
                    + u[2:3, 2 * Rp:3 * Rp])       # [1, R] exact trace
             if light:                 # boundary eval: f + div only
                 return (f_out * lane_valid, jnp.zeros((3, Rp), jnp.float32),
-                        jnp.zeros((_CDIM, Rp), jnp.float32),
+                        jnp.zeros((cdim, Rp), jnp.float32),
                         div * lane_valid)
 
             # ---- reverse over the tangent chains (seed: -a_p) -----------
@@ -199,7 +195,7 @@ def _cnf_adjoint_kernel(s0_ref, t0_ref, t1_ref, c_ref, *refs,
             cx_tan = cs_tan = dW_tan = None
             if light:                 # boundary eval: f only
                 return (f_out * lane_valid, jnp.zeros((3, Rp), jnp.float32),
-                        jnp.zeros((_CDIM, Rp), jnp.float32), div)
+                        jnp.zeros((cdim, Rp), jnp.float32), div)
 
         # ---- primal backprop (seed a at the output) ----------------------
         dz = a
@@ -224,7 +220,7 @@ def _cnf_adjoint_kernel(s0_ref, t0_ref, t1_ref, c_ref, *refs,
         # ---- param/condition grads -> kg_ref (all writes lane offset 0,
         # negated: dG/dt = -dS/dtheta) --------------------------------------
         kg_ref[...] = jnp.zeros_like(kg_ref)
-        kgc = jnp.zeros((_CDIM, Rp), jnp.float32)
+        kgc = jnp.zeros((cdim, Rp), jnp.float32)
         for li in range(n_layers):
             din, dout = dims[li]
             r0 = g_offs[li]
@@ -234,9 +230,9 @@ def _cnf_adjoint_kernel(s0_ref, t0_ref, t1_ref, c_ref, *refs,
             if with_trace:
                 dW = dW + dW_tan[li]
             kg_ref[r0:r0 + dout, 0:din] = -dW
-            kg_ref[r0 + dout:r0 + 2 * dout, 0:_CDIM] = \
+            kg_ref[r0 + dout:r0 + 2 * dout, 0:cdim] = \
                 -_dot_rr_f32(dgs[li], cT)                   # dWgc
-            kg_ref[r0 + 2 * dout:r0 + 3 * dout, 0:_CDIM] = \
+            kg_ref[r0 + 2 * dout:r0 + 3 * dout, 0:cdim] = \
                 -_dot_rr_f32(dbetas[li], cT)                # dWbc
             rv = r0 + 3 * dout
             db_row = _dot_rr_f32(ones_row, dhs[li])         # [1, dout]
@@ -270,7 +266,7 @@ def _cnf_adjoint_kernel(s0_ref, t0_ref, t1_ref, c_ref, *refs,
     out_b_ref[0:3, :] = dy0
     out_b_ref[3:4, :] = div1
 
-    n_params = sum(din * dout + 2 * _CDIM * dout + 4 * dout
+    n_params = sum(din * dout + 2 * cdim * dout + 4 * dout
                    for din, dout in dims)
 
     def part(e, a, b, mask=None):
@@ -327,7 +323,7 @@ def _cnf_adjoint_kernel(s0_ref, t0_ref, t1_ref, c_ref, *refs,
                 + part(h_c * (a5gc_ref[...] - a4gc_ref[...]), gc0, gc1,
                        lane_valid)
                 + part(h_c * (a5g_ref[...] - a4g_ref[...]), g0, g1))
-        count = (6.0 + _CDIM) * n_valid + float(n_params)
+        count = (6.0 + cdim) * n_valid + float(n_params)
         ratio = jnp.sqrt(sums / count + 1e-24)
         accept = ratio <= 1.0
         safe_ratio = jnp.maximum(ratio, 1e-10)
@@ -356,12 +352,16 @@ def _cnf_adjoint_kernel(s0_ref, t0_ref, t1_ref, c_ref, *refs,
         return jnp.logical_not(done) & (n < max_steps)
 
     h0 = direction * span / 16.0
-    jax.lax.while_loop(cond, body, (t1, h0, span <= 1e-12, jnp.int32(0)))
+    _, _, _, n_steps = jax.lax.while_loop(
+        cond, body, (t1, h0, span <= 1e-12, jnp.int32(0)))
 
     out_s_ref[0:3, :] = s_ref[0:3, :]
     out_s_ref[3:6, :] = s_ref[3:6, :]
-    out_s_ref[6:8, :] = jnp.zeros((2, Rp), jnp.float32)
-    out_s_ref[8:8 + _CDIM, :] = gc_ref[...]
+    # row 6 carries the solver step count (attempted steps, accepted +
+    # rejected) for introspection; row 7 stays zero
+    out_s_ref[6:7, :] = jnp.full((1, Rp), 1.0, jnp.float32) * n_steps
+    out_s_ref[7:8, :] = jnp.zeros((1, Rp), jnp.float32)
+    out_s_ref[8:8 + cdim, :] = gc_ref[...]
     f0_v, _, _, div0 = field(t0, s_ref[0:3, :], s_ref[3:6, :], kgtmp_ref,
                              light=True)
     out_b_ref[4:7, :] = f0_v
@@ -393,6 +393,8 @@ def cnf_adjoint_bwd_pallas(layers, c, y1, a1, ap, t0, t1,
     ~60% cheaper per field eval).
     """
     B, N, _ = y1.shape
+    cdim = c.shape[-1]
+    g_cols = max(64, cdim)
     R = B * N
     block_r = block_size or min(8192 if not with_trace else 4096,
                                 max(128, (R + 127) // 128 * 128))
@@ -432,7 +434,7 @@ def cnf_adjoint_bwd_pallas(layers, c, y1, a1, ap, t0, t1,
 
     kernel = functools.partial(
         _cnf_adjoint_kernel, n_layers=len(layers), n_total=R,
-        block_r=block_r, dims=dims, rtol=rtol, atol=atol,
+        block_r=block_r, dims=dims, cdim=cdim, rtol=rtol, atol=atol,
         max_steps=max_steps, with_trace=with_trace)
 
     w_specs = []
@@ -443,7 +445,7 @@ def cnf_adjoint_bwd_pallas(layers, c, y1, a1, ap, t0, t1,
         else:
             w_specs.append(pl.BlockSpec(warr.shape, lambda b: (0, 0)))
 
-    gshape = (g_rows_pad, _G_COLS)
+    gshape = (g_rows_pad, g_cols)
     out_s, out_g, out_b = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -451,25 +453,25 @@ def cnf_adjoint_bwd_pallas(layers, c, y1, a1, ap, t0, t1,
             pl.BlockSpec((8, block_r), lambda b: (0, b)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((_CDIM, block_r), lambda b: (0, b)),
+            pl.BlockSpec((cdim, block_r), lambda b: (0, b)),
         ] + w_specs,
         out_specs=[
-            pl.BlockSpec((8 + _CDIM, block_r), lambda b: (0, b)),
+            pl.BlockSpec((8 + cdim, block_r), lambda b: (0, b)),
             pl.BlockSpec(gshape, lambda b: (0, 0)),
             pl.BlockSpec((8, block_r), lambda b: (0, b)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((8 + _CDIM, Rp), jnp.float32),
+            jax.ShapeDtypeStruct((8 + cdim, Rp), jnp.float32),
             jax.ShapeDtypeStruct(gshape, jnp.float32),
             jax.ShapeDtypeStruct((8, Rp), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((8, block_r), jnp.float32),        # s (y, a)
             pltpu.VMEM((56, block_r), jnp.float32),       # k dyn (8 rows/st)
-            pltpu.VMEM((_CDIM, block_r), jnp.float32),    # gc
-            pltpu.VMEM((_CDIM, block_r), jnp.float32),    # acc5 gc
-            pltpu.VMEM((_CDIM, block_r), jnp.float32),    # acc4 gc
-            pltpu.VMEM((_CDIM, block_r), jnp.float32),    # kgc1 (FSAL)
+            pltpu.VMEM((cdim, block_r), jnp.float32),     # gc
+            pltpu.VMEM((cdim, block_r), jnp.float32),     # acc5 gc
+            pltpu.VMEM((cdim, block_r), jnp.float32),     # acc4 gc
+            pltpu.VMEM((cdim, block_r), jnp.float32),     # kgc1 (FSAL)
             pltpu.VMEM(gshape, jnp.float32),              # G
             pltpu.VMEM(gshape, jnp.float32),              # acc5 G
             pltpu.VMEM(gshape, jnp.float32),              # acc4 G
@@ -482,7 +484,7 @@ def cnf_adjoint_bwd_pallas(layers, c, y1, a1, ap, t0, t1,
 
     y0 = out_s[0:3, :R].T.reshape(B, N, 3)
     a0 = out_s[3:6, :R].T.reshape(B, N, 3)
-    dc = out_s[8:8 + _CDIM, :R].T.reshape(B, N, _CDIM)
+    dc = out_s[8:8 + cdim, :R].T.reshape(B, N, cdim)
     bnd = (out_b[0:3, :R].T.reshape(B, N, 3),
            out_b[3:4, :R].T.reshape(B, N, 1),
            out_b[4:7, :R].T.reshape(B, N, 3),
@@ -491,8 +493,8 @@ def cnf_adjoint_bwd_pallas(layers, c, y1, a1, ap, t0, t1,
     dlayers = []
     for (din, dout), r0, p in zip(dims, g_offs, layers):
         dW = out_g[r0:r0 + dout, 0:din].T                 # [din, dout]
-        dWgc = out_g[r0 + dout:r0 + 2 * dout, 0:_CDIM].T  # [cdim, dout]
-        dWbc = out_g[r0 + 2 * dout:r0 + 3 * dout, 0:_CDIM].T
+        dWgc = out_g[r0 + dout:r0 + 2 * dout, 0:cdim].T   # [cdim, dout]
+        dWbc = out_g[r0 + 2 * dout:r0 + 3 * dout, 0:cdim].T
         rv = r0 + 3 * dout
         db = out_g[rv, 0:dout]
         dgt = out_g[rv + 1, 0:dout]

@@ -60,7 +60,34 @@ def main():
     g_nll = jax.jit(jax.value_and_grad(nll_loss))
     g_emd = jax.jit(jax.value_and_grad(emd_only))
 
+    # finer rows: encoder-only and f-solves-only (conditions constant)
+    from puflow_tpu.models.continuous import flow_block_forward
+    from puflow_tpu.models.discrete import feat_extract
+    from puflow_tpu.ops.knn import knn_indices
+
+    knn_idx = knn_indices(sp, sp, 16)
+
+    def enc_loss(p):
+        cs, _ = feat_extract(p, state, sp, knn_idx, train=True)
+        return sum(jnp.sum(c) for c in cs)
+
+    cs_const, _ = jax.jit(
+        lambda p: feat_extract(p, state, sp, knn_idx, train=True))(params)
+    cs_const = jax.tree.map(jax.lax.stop_gradient, cs_const)
+
+    def fblocks_loss(p):
+        x, total = sp, 0.0
+        for blk, c in zip(p["flow_blocks"], cs_const):
+            x, logp = flow_block_forward(blk, x, c, differentiable=True)
+            total = total + jnp.sum(logp)
+        return total + jnp.sum(x ** 2)
+
+    g_enc = jax.jit(jax.value_and_grad(enc_loss))
+    g_fb = jax.jit(jax.value_and_grad(fblocks_loss))
+
     print(f"forward only       : {timed(fwd, params):8.1f} ms", flush=True)
+    print(f"grad encoder only  : {timed(g_enc, params):8.1f} ms", flush=True)
+    print(f"grad f-blocks only : {timed(g_fb, params):8.1f} ms", flush=True)
     print(f"grad NLL (f-path)  : {timed(g_nll, params):8.1f} ms", flush=True)
     print(f"grad EMD (g-path)  : {timed(g_emd, params):8.1f} ms", flush=True)
     print(f"grad full joint    : {timed(g_full, params):8.1f} ms", flush=True)
