@@ -362,6 +362,8 @@ def _adjoint_for(layer_type: str, nonlinearity: str):
         def bwd_solver(p, y1, y1_bar, t0, t1):
             layers = p["layers"]
             if isinstance(layers, dict):   # shared-beta zoo variant
+                _discrete._log_fallback("cnf-adjoint-bwd",
+                                        "shared-beta layer zoo")
                 return None                # XLA fallback
             y, logp1 = y1
             a_y, a_p = y1_bar
@@ -416,6 +418,8 @@ def _adjoint_plain_for(layer_type: str, nonlinearity: str):
         def bwd_solver(p, y1, y1_bar, t0, t1):
             layers = p["layers"]
             if isinstance(layers, dict):
+                _discrete._log_fallback("cnf-adjoint-bwd-plain",
+                                        "shared-beta layer zoo")
                 return None                # XLA fallback
             ap = jnp.zeros(y1.shape[:-1] + (1,), dtype=y1.dtype)
             y0, a0, dc, dlayers, bnd = cnf_adjoint_bwd_pallas(

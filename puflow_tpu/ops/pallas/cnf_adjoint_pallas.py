@@ -396,8 +396,13 @@ def cnf_adjoint_bwd_pallas(layers, c, y1, a1, ap, t0, t1,
     cdim = c.shape[-1]
     g_cols = max(64, cdim)
     R = B * N
-    block_r = block_size or min(8192 if not with_trace else 4096,
-                                max(128, (R + 127) // 128 * 128))
+    # per-block VMEM scales with cdim (gc quadrature refs + condition
+    # projections): cdim=128 at block 8192 measured 106.7M scoped vs the
+    # 96M limit — halve the block above cdim 64
+    base = 4096 if with_trace else 8192
+    if cdim > 64:
+        base //= 2
+    block_r = block_size or min(base, max(128, (R + 127) // 128 * 128))
     n_blocks = -(-R // block_r)
     Rp = n_blocks * block_r
 
