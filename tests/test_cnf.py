@@ -287,17 +287,20 @@ def test_cnf_adjoint_bwd_kernel_matches_xla():
         assert maxrel(div0, -ndiv0) < 2e-3, block
 
 
-def test_cnf_adjoint_bwd_kernel_no_trace():
+@pytest.mark.parametrize("cdim", [32, 128])
+def test_cnf_adjoint_bwd_kernel_no_trace(cdim):
     """`with_trace=False` (the g-path: logp cotangent structurally zero)
-    matches the XLA plain-field augmented integration."""
+    matches the XLA plain-field augmented integration. cdim=128 covers
+    the deeper blocks of the condition pyramid (32/64/128), which round 5
+    found silently on the XLA fallback when the kernel assumed 32."""
     from puflow_tpu.models.continuous import odenet_apply, odenet_init
     from puflow_tpu.models.ode import odeint_dopri5
     from puflow_tpu.ops.pallas.cnf_adjoint_pallas import \
         cnf_adjoint_bwd_pallas
 
-    layers = odenet_init(jax.random.PRNGKey(0), 3, 32)
+    layers = odenet_init(jax.random.PRNGKey(0), 3, cdim)
     B, N = 1, 60
-    c = jax.random.normal(jax.random.PRNGKey(1), (B, N, 32)) * 0.5
+    c = jax.random.normal(jax.random.PRNGKey(1), (B, N, cdim)) * 0.5
     y1 = jax.random.normal(jax.random.PRNGKey(2), (B, N, 3)) * 0.5
     a1 = jax.random.normal(jax.random.PRNGKey(3), (B, N, 3)) * 0.3
     t0, t1 = 0.0, 0.47
