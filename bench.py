@@ -85,16 +85,17 @@ def bench_cnf():
     pts = pts / (jnp.linalg.norm(pts, axis=-1, keepdims=True) + 1.0)
 
     run = jax.jit(lambda p, s, x: continuous.sample(p, s, x, R))
+    sync = jax.jit(jnp.sum)
     for _ in range(2):
         np.asarray(run(params, state, pts))
-    # a large timing window keeps the remote tunnel's ~31 ms sync RTT out
-    # of the per-iteration figure
+    # large windows + scalar sync: see the headline-bench comment on the
+    # tunnel's payload-transfer cost
     iters = 30
     dt = float("inf")
     for _ in range(3):
         t0 = time.time()
         outs = [run(params, state, pts) for _ in range(iters)]
-        np.asarray(outs[-1])
+        float(sync(outs[-1]))
         dt = min(dt, (time.time() - t0) / iters)
     EXTRAS["cnf_patches_per_sec"] = round(B / dt / jax.device_count(), 1)
 
@@ -231,18 +232,21 @@ def headline():
         np.asarray(run(pts))
 
     # Pipelined timing windows: dispatch all iterations, then sync once —
-    # device executions are in-order, so transferring the final output
-    # waits for the whole window. This amortises the remote tunnel's
-    # ~31ms/transfer RTT over the window instead of paying it per
-    # iteration, and matches how a deployment actually feeds the chip.
+    # device executions are in-order, so a scalar reduction of the final
+    # output waits for the whole window while transferring 4 bytes.
+    # (Transferring the full [32,8216,3] output instead costs ~88 ms over
+    # the tunnel — measured in scripts/exp_dispatch_overhead.py — which
+    # at 15-iteration windows shaved ~6% off every recorded headline; a
+    # deployment keeps outputs device-side or streams them overlapped, so
+    # the completion barrier, not the payload, is the honest sync.)
     # Best-of-N windows guards against one-off tunnel/host hiccups.
-    iters = 15  # wide windows: the end-of-window sync RTT (~30ms) must be
-    # small against iters * ~100ms of queued device work
+    sync = jax.jit(jnp.sum)
+    iters = 30
     dt = float("inf")
     for _ in range(4):  # best-of-N windows: tunnel hiccups cost ~10% per run
         t0 = time.time()
         outs = [run(pts) for _ in range(iters)]
-        np.asarray(outs[-1])
+        float(sync(outs[-1]))
         dt = min(dt, (time.time() - t0) / iters)
 
     return B * n_patch_per_cloud / dt / n_chips

@@ -133,6 +133,11 @@ def _tile_rows(a, k):
 # elementwise (bias/leaky/concat/K-pool) as well as bf16 matmuls.
 # Consulted at trace time by _encoder_kernel; see the block comment there
 # for the measured (bad) speed/quality trade that keeps this off.
+# ROUND-5 RE-MEASURE on the transposed (cm) kernels (VERDICT r4 item 6,
+# `scripts/exp_fast_elem_cm.py`): model stage 38.08 ms (off) vs 38.44 ms
+# (on) per 1024 patches — 0.99x, no win at all in the channel-major
+# layout (the elementwise pipeline no longer sits on padded 128-lane
+# tiles, so halving its width buys nothing). Stays OFF.
 FAST_ELEMENTWISE = False
 
 

@@ -22,16 +22,20 @@ import sys
 
 EXPECTED = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "artifacts", "protocol_expected_r4.json")
-# metric -> allowed relative increase vs the recorded baseline. CD/HD/EMD
-# carry fused-kernel + merge-selection noise (~5% run to run); JSD and the
-# uniformity columns are the collapse detectors the round-3d episode
-# motivated (strided merge moved uniform_0 0.04 -> 0.10 = +150%).
+# metric -> allowed relative increase vs the recorded baseline.
+# Round-5 derivation: the r4 vs r5 SAME-CONFIG runs measured the cross-run
+# spread at CD 4.1%, JSD 3.1%, EMD 1.1%, hausdorff 1.0%, p2f <1%,
+# uniformity <1% (artifacts/protocol_expected_r4.json keeps both rows);
+# tolerances sit at ~2x the observed spread — smaller than every drift
+# they guard against (the round-4b seeded-merge regression was CD +20%,
+# uniformity +100%), unlike the r4 fence whose 10-25% allowances exceeded
+# the 0.3-4.3% gap to the reference (VERDICT r4 weak #6).
 TOLERANCE = {
-    "CD": 0.10, "EMD": 0.10, "hausdorff": 0.15,
-    "p2f avg": 0.10, "p2f std": 0.15,
-    "JSD": 0.10,
-    "uniform_0": 0.25, "uniform_1": 0.25, "uniform_2": 0.25,
-    "uniform_3": 0.25, "uniform_4": 0.25,
+    "CD": 0.08, "EMD": 0.05, "hausdorff": 0.06,
+    "p2f avg": 0.05, "p2f std": 0.08,
+    "JSD": 0.07,
+    "uniform_0": 0.10, "uniform_1": 0.10, "uniform_2": 0.10,
+    "uniform_3": 0.10, "uniform_4": 0.10,
 }
 
 
